@@ -1,0 +1,51 @@
+# Root conftest: force the test suite onto a virtual 8-device CPU mesh.
+#
+# The machine's sitecustomize pins JAX_PLATFORMS=axon (a single tunneled TPU
+# chip) and imports jax at interpreter startup, so the backend cannot be
+# switched in-process. We therefore re-exec pytest once with a scrubbed
+# environment: CPU platform, 8 virtual devices (to exercise Mesh/pjit
+# sharding), and no axon site path.
+#
+# Set VCT_TEST_TPU=1 to skip the re-exec and run the suite on the real chip.
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _needs_cpu_reexec() -> bool:
+    return (
+        os.environ.get("VCT_TEST_REEXEC") != "1"
+        and os.environ.get("VCT_TEST_TPU") != "1"
+        and os.environ.get("JAX_PLATFORMS", "axon") != "cpu"
+    )
+
+
+def pytest_configure(config):
+    if not _needs_cpu_reexec():
+        return
+    import subprocess
+
+    env = dict(os.environ)
+    env["VCT_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    # Drop the axon sitecustomize, keep the repo importable.
+    env["PYTHONPATH"] = _REPO_ROOT
+    xla = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla:
+        env["XLA_FLAGS"] = (xla + " --xla_force_host_platform_device_count=8").strip()
+    argv = list(sys.orig_argv)
+    argv[0] = sys.executable
+
+    # pytest has already taken over fds 1/2 for capture; hand them back so
+    # the child's live output reaches the terminal.
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    rc = subprocess.run(argv, env=env).returncode
+    # Exit with the child's code; os._exit skips pytest's own shutdown.
+    os._exit(rc)
+
+
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)

@@ -1,0 +1,377 @@
+"""Typed configuration tree for the vct framework.
+
+Replaces the reference's module-global constant config
+(``medsos_lrcn/src/all_config.py:1-72``) and its sed-rewrite override mechanism
+(``medsos_lrcn/src/runner.py:17-30``) with immutable dataclasses, programmatic
+``replace()`` overrides, YAML/JSON files, and dotted-path CLI overrides.
+
+Every knob of the reference is represented (``all_config.py:11-31`` and the
+serving env vars at ``worker.py:24-28``), including derived values such as
+``hidden_size = mult_factor * rnn_input_size`` (``all_config.py:56``) and the
+config-encoded artifact/cache naming convention (``all_config.py:32-35``,
+``runner.py:69-75``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Optional
+
+__all__ = [
+    "DataConfig",
+    "ModelConfig",
+    "TrainConfig",
+    "SweepConfig",
+    "ServeConfig",
+    "MeshConfig",
+    "CaptionConfig",
+    "Config",
+    "load_config",
+    "apply_overrides",
+]
+
+
+def _frozen(**kw):
+    return dataclass(frozen=True, **kw)
+
+
+@_frozen()
+class DataConfig:
+    """Video ingest / frame-sampling knobs (``all_config.py:6-22,32-35``)."""
+
+    dataset_path: str = ""
+    val_path: str = ""
+    test_path: str = ""
+    processed_data_path: str = "/tmp/vct_cache"
+    img_height: int = 80
+    img_width: int = 80
+    sequence_length: int = 60
+    # uniform | ssim | sad | optical_flow (flow-magnitude proxy)
+    sampling_method: str = "uniform"
+    max_videos: int = 1000
+    # Host decode workers feeding the device preprocessing kernel.
+    decode_workers: int = 4
+    prefetch_depth: int = 2
+    # Cache backend: hdf5 (reference parity) | npy | none
+    cache_format: str = "hdf5"
+    val_fraction: float = 0.2
+    split_seed: int = 42
+
+    @property
+    def cache_key(self) -> str:
+        # Mirrors the reference's cache-file naming (all_config.py:32-35).
+        return f"{self.max_videos}_{self.sequence_length}fr_{self.sampling_method}"
+
+    @property
+    def data_file(self) -> str:
+        return os.path.join(self.processed_data_path, f"X_data_{self.cache_key}.h5")
+
+    @property
+    def labels_file(self) -> str:
+        return os.path.join(self.processed_data_path, f"y_labels_{self.cache_key}.npy")
+
+    @property
+    def classes_file(self) -> str:
+        return os.path.join(self.processed_data_path, f"class_labels_{self.cache_key}.npy")
+
+
+@_frozen()
+class ModelConfig:
+    """LRCN / VideoMamba model family knobs (``all_config.py:14-31``)."""
+
+    model_family: str = "lrcn"  # lrcn | videomamba | lrcn2 | td_cnn_lstm
+    num_classes: int = 4
+    cnn_backbone: str = "resnet50"
+    rnn_type: str = "mamba"  # lstm | gru | mamba
+    rnn_input_size: int = 8
+    rnn_layer: int = 3
+    mult_factor: int = 4
+    hidden_size: Optional[int] = None  # None -> mult_factor * rnn_input_size
+    rnn_out: str = "all"  # all | last
+    bidirectional: bool = False
+    dropout: float = 0.25
+    adapt: str = "lnsd3"  # Adapt DSL string (all_config.py:26, adapt.py:6-60)
+    classif_mode: str = "multiclass"  # multiclass | multiple_binary
+    finetune: bool = True  # reference quirk: flag exists; backbone stays frozen
+    # VideoMamba-specific (lrcn/videomamba.py:332-386)
+    vm_d_model: int = 512
+    vm_d_inner: int = 2048
+    vm_n_state: int = 16
+    vm_dt_rank: int = 16
+    vm_n_layer: int = 4
+    vm_temporal_mode: str = "mean"  # mean | max | last | all
+    # Compute dtype for the jitted forward path ("bfloat16" | "float32").
+    compute_dtype: str = "float32"
+    # Which scan implementation the SSM/RNN layers use:
+    #   "associative" (lax.associative_scan), "scan" (lax.scan), "pallas"
+    scan_impl: str = "associative"
+
+    @property
+    def resolved_hidden_size(self) -> int:
+        if self.hidden_size is not None:
+            return self.hidden_size
+        return self.mult_factor * self.rnn_input_size
+
+
+@_frozen()
+class TrainConfig:
+    """Train/eval engine knobs (``all_config.py:12-30``, ``train_eval.py:9-54``)."""
+
+    batch_size: int = 32
+    epochs: int = 8
+    learning_rate: float = 1e-4
+    optimizer: str = "adam"
+    weight_decay: float = 0.0
+    grad_clip: float = 0.0  # 0 = off (videomamba uses 1.0: lrcn/mamba.py:310-313)
+    weighted_loss: bool = False
+    early_stop: float = 0.0  # stop when epoch loss < early_stop (0 = off)
+    early_stop_patience: int = 0  # patience-based variant (videomamba.py:632-658)
+    seed: int = 42
+    model_path: str = "/tmp/vct_model"
+    save_model: bool = True
+    log_every: int = 0  # steps; 0 = per-epoch only
+    checkpoint_keep: int = 3
+
+
+@_frozen()
+class MeshConfig:
+    """Device mesh / parallelism layout (TPU-native; the reference is
+    single-device, ``all_config.py:70``)."""
+
+    data_axis: int = -1  # -1 = all remaining devices
+    model_axis: int = 1
+    # Donate params in the train step; turn off for debugging.
+    donate: bool = True
+
+
+@_frozen()
+class SweepConfig:
+    """HPO sweep knobs (``all_config.py:39-45``, ``hyperparam.py``)."""
+
+    strategy: str = "grid"  # grid | bayesian | genetic
+    test_runs: int = 3
+    checkpoint_file: str = "/tmp/vct_sweep/checkpoint.json"
+    best_model_dir: str = "/tmp/vct_sweep/best_models"
+    log_file: str = "/tmp/vct_sweep/sweep_log.txt"
+    f1_threshold: float = 0.71  # keep-model threshold (runner.py:67-79)
+    n_trials: int = 50
+    # genetic
+    population: int = 10
+    generations: int = 5
+    cx_prob: float = 0.7
+    mut_prob: float = 0.2
+
+
+@_frozen()
+class ServeConfig:
+    """Serving stack knobs (``all_config.py:46-51``, ``worker.py:24-28``)."""
+
+    app_stage: str = "devel"  # devel | prod
+    video_dir: str = "/tmp/vct_videos"
+    backend_host: str = "0.0.0.0"
+    backend_port: int = 5000
+    queue_port: int = 54000
+    db_path: str = "/tmp/vct_serve/results.db"
+    model_path: str = ""
+    sampling_method: str = "uniform"
+    sequence_length: int = 60
+
+    @property
+    def backend_url(self) -> str:
+        host = "backend_rt" if self.app_stage == "prod" else "localhost"
+        return f"http://{host}:{self.backend_port}/classify"
+
+    @property
+    def backend_checker(self) -> str:
+        host = "backend_rt" if self.app_stage == "prod" else "localhost"
+        return f"http://{host}:{self.backend_port}/video_labels"
+
+
+@_frozen()
+class CaptionConfig:
+    """S2VT captioning knobs (``s2vt/beam_search.py``, ``main_configurable.py``)."""
+
+    cnn_backbone: str = "resnet50"
+    cnn_output_size: int = 512
+    hidden_size: int = 512
+    num_frames: int = 30
+    max_caption_len: int = 30
+    freq_threshold: int = 1
+    beam_width: int = 3
+    dropout: float = 0.1
+    learning_rate: float = 1e-4
+    epochs: int = 10
+    grad_clip: float = 5.0
+    checkpoint_dir: str = "/tmp/vct_caption"
+
+
+@_frozen()
+class Config:
+    """Root config tree."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    sweep: SweepConfig = field(default_factory=SweepConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
+    caption: CaptionConfig = field(default_factory=CaptionConfig)
+
+    # ------------------------------------------------------------------
+    def replace(self, **dotted: Any) -> "Config":
+        """Return a new Config with dotted-path overrides applied.
+
+        ``cfg.replace(**{"model.rnn_type": "lstm", "train.epochs": 3})``
+        """
+        return apply_overrides(self, dotted)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return _from_dict(cls, d)
+
+    def artifact_name(self, prefix: str = "model") -> str:
+        """Config-encoded artifact filename, keeping the reference's
+        convention of best-model files named by their hyperparameters
+        (``runner.py:69-75``)."""
+        m, t, d = self.model, self.train, self.data
+        return (
+            f"{prefix}_seq{d.sequence_length}_batch{t.batch_size}"
+            f"_hidden{m.resolved_hidden_size}_cnn{m.cnn_backbone}"
+            f"_rnninput{m.rnn_input_size}_layer{m.rnn_layer}_rnntype{m.rnn_type}"
+            f"_sampling{d.sampling_method}_out{m.rnn_out}_max{d.max_videos}"
+            f"_epoch{t.epochs}_classifmode{m.classif_mode}"
+        )
+
+
+# ----------------------------------------------------------------------
+# (de)serialisation helpers
+
+
+def _from_dict(cls, d):
+    if not is_dataclass(cls):
+        return d
+    kwargs = {}
+    field_map = {f.name: f for f in fields(cls)}
+    for key, val in d.items():
+        if key not in field_map:
+            raise KeyError(f"Unknown config field {cls.__name__}.{key}")
+        f = field_map[key]
+        sub = _DATACLASS_FIELDS.get((cls.__name__, key))
+        if sub is not None and isinstance(val, dict):
+            kwargs[key] = _from_dict(sub, val)
+        else:
+            kwargs[key] = val
+    return cls(**kwargs)
+
+
+_DATACLASS_FIELDS = {
+    ("Config", "data"): DataConfig,
+    ("Config", "model"): ModelConfig,
+    ("Config", "train"): TrainConfig,
+    ("Config", "mesh"): MeshConfig,
+    ("Config", "sweep"): SweepConfig,
+    ("Config", "serve"): ServeConfig,
+    ("Config", "caption"): CaptionConfig,
+}
+
+
+def _coerce(value: str, current: Any) -> Any:
+    """Coerce a CLI string override to the type of the current value."""
+    if not isinstance(value, str):
+        return value
+    if current is None:
+        try:
+            return json.loads(value)
+        except (ValueError, TypeError):
+            return value
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    return value
+
+
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    """Apply {'model.rnn_type': 'lstm', ...} dotted overrides immutably."""
+    grouped: dict = {}
+    for path, value in overrides.items():
+        parts = path.split(".")
+        if len(parts) == 1:
+            raise KeyError(
+                f"Override '{path}' must be dotted, e.g. 'model.rnn_type'"
+            )
+        grouped.setdefault(parts[0], {})[".".join(parts[1:])] = value
+
+    updates = {}
+    for section, subover in grouped.items():
+        node = getattr(cfg, section)
+        sub_updates = {}
+        for path, value in subover.items():
+            if "." in path:
+                raise KeyError(f"Config nesting deeper than 2 not supported: {path}")
+            if not hasattr(node, path):
+                raise KeyError(
+                    f"Unknown config field {section}.{path}. "
+                    f"Available: {[f.name for f in fields(node)]}"
+                )
+            current = getattr(node, path)
+            sub_updates[path] = _coerce(value, current)
+        updates[section] = dataclasses.replace(node, **sub_updates)
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    """Load a Config from a YAML/JSON file plus dotted overrides."""
+    cfg = Config()
+    if path:
+        with open(path) as f:
+            if path.endswith((".yaml", ".yml")):
+                import yaml
+
+                d = yaml.safe_load(f)
+            else:
+                d = json.load(f)
+        cfg = Config.from_dict(_merge_into(cfg.to_dict(), d or {}))
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def _merge_into(base: dict, upd: dict) -> dict:
+    out = dict(base)
+    for k, v in upd.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            out[k] = _merge_into(base[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def parse_cli_overrides(argv) -> dict:
+    """Parse ``--model.rnn_type lstm`` / ``--train.epochs=3`` style args."""
+    overrides = {}
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if not arg.startswith("--"):
+            raise ValueError(f"Unexpected argument: {arg}")
+        body = arg[2:]
+        if "=" in body:
+            key, value = body.split("=", 1)
+            i += 1
+        else:
+            key = body
+            if i + 1 >= len(argv):
+                raise ValueError(f"Missing value for --{key}")
+            value = argv[i + 1]
+            i += 2
+        overrides[key] = value
+    return overrides
