@@ -1,0 +1,205 @@
+"""Train/eval engine tests: e2e smoke (loss decreases), metric parity with
+sklearn, class weights, param counting, checkpoint roundtrip, mesh sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vct.core.config import Config
+from vct.data.synthetic import generate_dummy_data
+from vct.train.engine import Trainer, compute_class_weights, count_parameters
+from vct.train.metrics import (
+    multiclass_confusion,
+    multiclass_metrics,
+    multilabel_counts,
+    multilabel_metrics,
+)
+
+
+def _tiny_cfg(**over):
+    base = {
+        "model.cnn_backbone": "resnet18",
+        "model.rnn_type": "lstm",
+        "model.rnn_input_size": "8",
+        "model.rnn_layer": "1",
+        "data.sequence_length": "4",
+        "data.img_height": "32",
+        "data.img_width": "32",
+        "train.batch_size": "8",
+        "train.epochs": "3",
+        "train.learning_rate": "0.003",
+        "train.save_model": "false",
+    }
+    base.update(over)
+    return Config().replace(**base)
+
+
+def test_e2e_train_loss_decreases(capsys):
+    cfg = _tiny_cfg()
+    x, y, names = generate_dummy_data(
+        num_samples=24, sequence_length=4, height=32, width=32, num_classes=4
+    )
+    tr = Trainer(cfg, names)
+    state = tr.init_state(jax.random.PRNGKey(0), x)
+    state, run = tr.fit(state, x, y)
+    assert run.epoch_losses[-1] < run.epoch_losses[0]
+    m = tr.evaluate(state, x, y, run=run)
+    out = capsys.readouterr().out
+    # stdout contract intact end-to-end
+    from vct.core.metrics_contract import extract_metrics
+
+    scraped = extract_metrics(out)
+    assert scraped.trainable_params == run.trainable_params
+    assert 0.0 <= m.accuracy <= 1.0
+
+
+def test_e2e_multiple_binary(capsys):
+    cfg = _tiny_cfg(**{"model.classif_mode": "multiple_binary"})
+    x, y, names = generate_dummy_data(
+        num_samples=16, sequence_length=4, height=32, width=32,
+        num_classes=3, classif_mode="multiple_binary",
+    )
+    tr = Trainer(cfg, names[:3])
+    # fix num_classes to 3
+    cfg = cfg.replace(**{"model.num_classes": "3"})
+    tr = Trainer(cfg, names[:3])
+    state = tr.init_state(jax.random.PRNGKey(0), x)
+    state, run = tr.fit(state, x, y)
+    m = tr.evaluate(state, x, y, run=run)
+    out = capsys.readouterr().out
+    assert "Overall F1-Score:" in out
+    assert 0.0 <= m.accuracy <= 1.0
+
+
+def test_multiclass_metrics_match_sklearn():
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    rng = np.random.RandomState(0)
+    C = 4
+    labels = rng.randint(0, C, 50)
+    logits = rng.randn(50, C).astype(np.float32)
+    conf = multiclass_confusion(jnp.asarray(logits), jnp.asarray(labels), C)
+    ours = multiclass_metrics(np.asarray(conf), [str(i) for i in range(C)])
+    preds = logits.argmax(-1)
+    p, r, f, _ = sklearn_metrics.precision_recall_fscore_support(
+        labels, preds, average="macro", zero_division=0
+    )
+    assert ours.precision == pytest.approx(p, abs=1e-6)
+    assert ours.recall == pytest.approx(r, abs=1e-6)
+    assert ours.f1 == pytest.approx(f, abs=1e-6)
+    assert ours.accuracy == pytest.approx((preds == labels).mean(), abs=1e-6)
+
+
+def test_multilabel_metrics_match_sklearn():
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    rng = np.random.RandomState(1)
+    C = 3
+    labels = (rng.rand(40, C) > 0.5).astype(np.float32)
+    logits = rng.randn(40, C).astype(np.float32)
+    counts, exact = multilabel_counts(jnp.asarray(logits), jnp.asarray(labels))
+    ours = multilabel_metrics(np.asarray(counts), float(exact), 40.0,
+                              [str(i) for i in range(C)])
+    preds = (1 / (1 + np.exp(-logits)) > 0.5).astype(np.float32)
+    p, r, f, _ = sklearn_metrics.precision_recall_fscore_support(
+        labels, preds, average="macro", zero_division=0
+    )
+    assert ours.precision == pytest.approx(p, abs=1e-6)
+    assert ours.f1 == pytest.approx(f, abs=1e-6)
+    assert ours.accuracy == pytest.approx(
+        np.all(preds == labels, axis=1).mean(), abs=1e-6
+    )
+
+
+def test_class_weights():
+    y = np.array([0, 0, 0, 1, 2, 2])
+    w = compute_class_weights(y, 3, "multiclass")
+    # sklearn 'balanced': n / (C * bincount)
+    np.testing.assert_allclose(w, [6 / 9, 6 / 3, 6 / 6], rtol=1e-6)
+    yb = np.array([[1, 0], [1, 0], [0, 1], [1, 0]], np.float32)
+    pw = compute_class_weights(yb, 2, "multiple_binary")
+    np.testing.assert_allclose(pw, [1 / 3, 3 / 1], rtol=1e-6)
+
+
+def test_count_parameters_frozen_split():
+    cfg = _tiny_cfg()
+    x, _, names = generate_dummy_data(8, 4, 32, 32, 4)
+    tr = Trainer(cfg, names)
+    state = tr.init_state(jax.random.PRNGKey(0), x)
+    counts = count_parameters(state.params, finetune=False)
+    assert counts["Non-trainable parameters"] > 10_000_000  # resnet18 ~11.2M
+    assert counts["Trainable parameters"] > 0
+    assert counts["Total parameters"] == (
+        counts["Trainable parameters"] + counts["Non-trainable parameters"]
+    )
+    # finetune=True counts everything trainable
+    ft = count_parameters(state.params, finetune=True)
+    assert ft["Non-trainable parameters"] == 0
+
+
+def test_frozen_backbone_unchanged_after_training():
+    cfg = _tiny_cfg(**{"train.epochs": "1"})
+    x, y, names = generate_dummy_data(8, 4, 32, 32, 4)
+    tr = Trainer(cfg, names)
+    state = tr.init_state(jax.random.PRNGKey(0), x)
+    before = jax.device_get(state.params["cnn_backbone"])
+    state, _ = tr.fit(state, x, y, log=False)
+    after = jax.device_get(state.params["cnn_backbone"])
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vct.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = _tiny_cfg(**{"train.epochs": "1"})
+    x, y, names = generate_dummy_data(8, 4, 32, 32, 4)
+    tr = Trainer(cfg, names)
+    state = tr.init_state(jax.random.PRNGKey(0), x)
+    variables = {"params": jax.device_get(state.params),
+                 **jax.device_get(state.extra_vars)}
+    path = save_checkpoint(str(tmp_path / "ckpt"), variables, cfg, names,
+                           metrics={"f1_score": 0.5})
+    loaded, cfg2, names2, manifest = load_checkpoint(path)
+    assert names2 == names
+    assert cfg2.model.rnn_type == cfg.model.rnn_type
+    assert manifest["metrics"]["f1_score"] == 0.5
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # loaded variables drive the same model
+    from vct.models import build_model
+
+    model = build_model(cfg2.model, cfg2.data.sequence_length)
+    out = model.apply(jax.tree_util.tree_map(jnp.asarray, loaded), jnp.asarray(x[:2]))
+    assert out.shape == (2, 4)
+
+
+def test_dp_tp_mesh_training_step():
+    """8 virtual devices: dp=4 x tp=2 sharded train step runs and matches the
+    single-device loss."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from vct.parallel.mesh import make_mesh, shard_batch
+    from vct.parallel.shard import shard_state_like_params
+
+    cfg = _tiny_cfg(**{"train.batch_size": "8", "mesh.donate": "false"})
+    x, y, names = generate_dummy_data(8, 4, 32, 32, 4)
+
+    # single-device-style (mesh over 1 device)
+    mesh1 = make_mesh(jax.devices()[:1], data=1, model=1)
+    tr1 = Trainer(cfg, names, mesh=mesh1)
+    s1 = tr1.init_state(jax.random.PRNGKey(0), x)
+    step1 = tr1._build_train_step()
+    xb, yb, mb = jnp.asarray(x), jnp.asarray(y), jnp.ones(8, jnp.float32)
+    _, loss1, _, _ = step1(s1, xb, yb, mb)
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    tr = Trainer(cfg, names, mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0), x)
+    state = shard_state_like_params(state, mesh)
+    step = tr._build_train_step()
+    sxb, syb, smb = shard_batch((xb, yb, mb), mesh)
+    state, loss, c, n = step(state, sxb, syb, smb)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(loss1), rtol=2e-4, atol=2e-4)

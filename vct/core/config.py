@@ -59,6 +59,10 @@ class DataConfig:
     cache_format: str = "hdf5"
     val_fraction: float = 0.2
     split_seed: int = 42
+    # Synthetic-data harness (the reference's own smoke pattern,
+    # lrcn/mamba.py:440-457): train on random clips, no dataset needed.
+    synthetic: bool = False
+    synthetic_samples: int = 64
 
     @property
     def cache_key(self) -> str:
@@ -95,7 +99,11 @@ class ModelConfig:
     dropout: float = 0.25
     adapt: str = "lnsd3"  # Adapt DSL string (all_config.py:26, adapt.py:6-60)
     classif_mode: str = "multiclass"  # multiclass | multiple_binary
-    finetune: bool = True  # reference quirk: flag exists; backbone stays frozen
+    # Train the backbone too. The reference's FINETUNE flag is dead code (it
+    # defaults True yet the backbone is always frozen, models.py:144-145);
+    # here the flag actually works, defaulting to the reference's real
+    # behavior (frozen).
+    finetune: bool = False
     # VideoMamba-specific (lrcn/videomamba.py:332-386)
     vm_d_model: int = 512
     vm_d_inner: int = 2048

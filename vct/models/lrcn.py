@@ -137,6 +137,7 @@ def build_lrcn(cfg: ModelConfig, sequence_length: int) -> LRCN:
         bidirectional=cfg.bidirectional,
         classif_mode=cfg.classif_mode,
         dropout=cfg.dropout,
+        finetune=cfg.finetune,
         scan_impl=cfg.scan_impl,
         dtype=dtype,
     )

@@ -97,6 +97,7 @@ def build_videomamba(cfg: ModelConfig, sequence_length: int) -> VideoMamba:
         num_frames=sequence_length,
         temporal_mode=cfg.vm_temporal_mode,
         classification_mode=cfg.classif_mode,
+        finetune=cfg.finetune,
         scan_impl=cfg.scan_impl,
         dtype=dtype,
     )

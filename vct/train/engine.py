@@ -1,0 +1,345 @@
+"""Jitted train/eval engine.
+
+The TPU-native counterpart of ``medsos_lrcn/src/train_eval.py``: one compiled
+train step (forward + loss + backward + optimizer update, parameters donated),
+one compiled eval step accumulating confusion counts on device, epoch loop on
+the host. Matches the reference's training semantics:
+
+  * multiclass: cross-entropy, optionally class-weighted like torch
+    ``CrossEntropyLoss(weight=...)`` (weighted mean) — ``train_eval.py:25-29``
+  * multiple_binary: per-class ``BCEWithLogits(pos_weight)`` summed over
+    classes — ``train_eval.py:31-39``
+  * epoch loss/accuracy lines, ``training_duration`` / ``inference_duration``
+    prints, loss-threshold early stop — ``train_eval.py:45-54``, and the
+    patience-based variant of ``lrcn/videomamba.py:632-658``
+  * parameter counting (trainable vs frozen) — ``train_eval.py:121-129``
+
+Parallelism: batches shard over the mesh ``data`` axis, parameters replicate;
+with N devices the same compiled step runs SPMD and XLA all-reduces gradients
+over ICI (replacing nothing in the reference — it is single-device only).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from vct.core.config import Config
+from vct.core.metrics_contract import (
+    RunMetrics,
+    print_epoch_line,
+    print_inference_duration,
+    print_metric_block,
+    print_param_counts,
+    print_training_duration,
+)
+from vct.data.batcher import batches
+from vct.models import build_model
+from vct.parallel.mesh import batch_sharding, host_to_device, make_mesh
+from vct.train.metrics import (
+    multiclass_confusion,
+    multiclass_metrics,
+    multilabel_counts,
+    multilabel_metrics,
+)
+
+__all__ = ["TrainState", "Trainer", "compute_class_weights", "count_parameters"]
+
+FROZEN_KEY = "cnn_backbone"
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    extra_vars: Any  # batch_stats etc. (held fixed: frozen backbone)
+    opt_state: Any
+    rng: jax.Array
+
+
+def compute_class_weights(y: np.ndarray, num_classes: int, classif_mode: str):
+    """Balanced class weights (reference: sklearn compute_class_weight
+    'balanced' for CE — ``ucf50-lrcn.py:591-602``; pos_weight = neg/pos for
+    the per-class BCE losses)."""
+    if classif_mode == "multiclass":
+        counts = np.bincount(y.astype(np.int64), minlength=num_classes).astype(np.float64)
+        weights = len(y) / np.maximum(num_classes * counts, 1.0)
+        return weights.astype(np.float32)
+    pos = y.sum(axis=0).astype(np.float64)
+    neg = len(y) - pos
+    return (neg / np.maximum(pos, 1.0)).astype(np.float32)
+
+
+def _param_label_tree(params, finetune: bool):
+    return {
+        k: ("freeze" if (k == FROZEN_KEY and not finetune) else "train")
+        for k in params
+    }
+
+
+def count_parameters(params, finetune: bool = False) -> Dict[str, int]:
+    """Trainable / non-trainable / total (train_eval.py:121-129). Matches
+    torch semantics: BN running stats are buffers and not counted."""
+
+    def _size(tree):
+        return int(sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(tree)))
+
+    frozen = 0 if finetune else _size(params.get(FROZEN_KEY, {}))
+    total = _size(params)
+    return {
+        "Trainable parameters": total - frozen,
+        "Non-trainable parameters": frozen,
+        "Total parameters": total,
+    }
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        class_names: List[str],
+        mesh: Optional[Mesh] = None,
+        class_weights: Optional[np.ndarray] = None,
+    ):
+        self.cfg = cfg
+        self.class_names = class_names
+        self.num_classes = cfg.model.num_classes
+        self.classif_mode = cfg.model.classif_mode
+        self.model = build_model(cfg.model, cfg.data.sequence_length)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.class_weights = (
+            jnp.asarray(class_weights) if class_weights is not None else None
+        )
+        self._tx = self._make_optimizer()
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def _make_optimizer(self):
+        t = self.cfg.train
+        if t.optimizer == "adam":
+            base = optax.adam(t.learning_rate)
+        elif t.optimizer == "adamw":
+            base = optax.adamw(t.learning_rate, weight_decay=t.weight_decay)
+        elif t.optimizer == "sgd":
+            base = optax.sgd(t.learning_rate)
+        else:
+            raise KeyError(f"Unknown optimizer: {t.optimizer}")
+        chain = []
+        if t.grad_clip and t.grad_clip > 0:
+            chain.append(optax.clip_by_global_norm(t.grad_clip))
+        chain.append(base)
+        tx = optax.chain(*chain)
+        return optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            lambda params: _param_label_tree(params, self.cfg.model.finetune),
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, sample_x: np.ndarray) -> TrainState:
+        variables = self.model.init(rng, jnp.asarray(sample_x[:1]))
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        opt_state = self._tx.init(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            extra_vars=extra,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        return host_to_device(state, self.mesh)
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, logits, labels, mask):
+        if self.classif_mode == "multiclass":
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            if self.class_weights is not None:
+                w = self.class_weights[labels] * mask
+                loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-8)
+            else:
+                loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1e-8)
+            preds = jnp.argmax(logits, axis=-1)
+            correct = jnp.sum((preds == labels).astype(jnp.float32) * mask)
+            total = jnp.sum(mask)
+        else:
+            labels_f = labels.astype(logits.dtype)
+            # per-class BCEWithLogits(pos_weight), mean over batch, summed
+            # over classes (train_eval.py:31-36).
+            log_p = jax.nn.log_sigmoid(logits)
+            log_not_p = jax.nn.log_sigmoid(-logits)
+            pw = self.class_weights if self.class_weights is not None else 1.0
+            bce = -(pw * labels_f * log_p + (1 - labels_f) * log_not_p)
+            per_class_mean = jnp.sum(bce * mask[:, None], axis=0) / jnp.maximum(
+                jnp.sum(mask), 1e-8
+            )
+            loss = jnp.sum(per_class_mean)
+            preds = (jax.nn.sigmoid(logits) > 0.5).astype(labels_f.dtype)
+            correct = jnp.sum((preds == labels_f).astype(jnp.float32) * mask[:, None])
+            total = jnp.sum(mask) * self.num_classes
+        return loss, (correct, total)
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model = self.model
+        tx = self._tx
+        donate = self.cfg.mesh.donate
+
+        def train_step(state: TrainState, xb, yb, mask):
+            rng, dropout_rng = jax.random.split(state.rng)
+
+            def loss_of(params):
+                logits = model.apply(
+                    {"params": params, **state.extra_vars},
+                    xb,
+                    deterministic=False,
+                    rngs={"dropout": dropout_rng},
+                )
+                return self._loss_fn(logits, yb, mask)
+
+            (loss, (correct, total)), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            )
+            return new_state, loss, correct, total
+
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def _build_eval_step(self):
+        model = self.model
+        num_classes = self.num_classes
+        mode = self.classif_mode
+
+        def eval_step(params, extra_vars, xb, yb, mask):
+            logits = model.apply({"params": params, **extra_vars}, xb)
+            if mode == "multiclass":
+                return multiclass_confusion(logits, yb, num_classes, mask)
+            return multilabel_counts(logits, yb, mask)
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        x: np.ndarray,
+        y: np.ndarray,
+        log: bool = True,
+    ) -> Tuple[TrainState, RunMetrics]:
+        """Epoch loop with the reference's stdout contract."""
+        t = self.cfg.train
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        step_fn = self._train_step
+        shard = batch_sharding(self.mesh)
+        rng = np.random.RandomState(t.seed)
+        run = RunMetrics()
+
+        start = time.time()
+        stop = False
+        best_loss, bad_epochs = float("inf"), 0
+        for epoch in range(t.epochs):
+            running_loss, correct, total = 0.0, 0.0, 0.0
+            for xb, yb, mask in batches(x, y, t.batch_size, shuffle=True, rng=rng):
+                xb = jax.device_put(jnp.asarray(xb), shard)
+                yb = jax.device_put(jnp.asarray(yb), shard)
+                mb = jax.device_put(jnp.asarray(mask), shard)
+                state, loss, c, n = step_fn(state, xb, yb, mb)
+                bs = float(np.sum(mask))
+                running_loss += float(loss) * bs
+                correct += float(c)
+                total += float(n)
+            epoch_loss = running_loss / max(len(x), 1)
+            epoch_acc = correct / max(total, 1)
+            run.epoch_losses.append(epoch_loss)
+            run.epoch_accs.append(epoch_acc)
+            if log:
+                print_epoch_line(epoch, t.epochs, epoch_loss, epoch_acc)
+            # loss-threshold early stop (all_config.py:30 EARLY_STOP)
+            if t.early_stop and epoch_loss < t.early_stop:
+                stop = True
+            # patience-based early stop (lrcn/videomamba.py:632-658)
+            if t.early_stop_patience:
+                if epoch_loss < best_loss - 1e-6:
+                    best_loss, bad_epochs = epoch_loss, 0
+                else:
+                    bad_epochs += 1
+                    if bad_epochs >= t.early_stop_patience:
+                        stop = True
+            if stop:
+                break
+
+        run.training_duration = time.time() - start
+        if log:
+            print_training_duration(run.training_duration)
+            counts = count_parameters(state.params, self.cfg.model.finetune)
+            run.trainable_params = counts["Trainable parameters"]
+            run.non_trainable_params = counts["Non-trainable parameters"]
+            run.total_params = counts["Total parameters"]
+            print_param_counts(run.trainable_params, run.non_trainable_params)
+        return state, run
+
+    # ------------------------------------------------------------------
+    def evaluate(
+        self,
+        state: TrainState,
+        x: np.ndarray,
+        y: np.ndarray,
+        log: bool = True,
+        run: Optional[RunMetrics] = None,
+    ) -> RunMetrics:
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        eval_fn = self._eval_step
+        shard = batch_sharding(self.mesh)
+        bs = self.cfg.train.batch_size
+
+        start = time.time()
+        if self.classif_mode == "multiclass":
+            confusion = np.zeros((self.num_classes, self.num_classes))
+            for xb, yb, mask in batches(x, y, bs):
+                out = eval_fn(
+                    state.params,
+                    state.extra_vars,
+                    jax.device_put(jnp.asarray(xb), shard),
+                    jax.device_put(jnp.asarray(yb), shard),
+                    jax.device_put(jnp.asarray(mask), shard),
+                )
+                confusion += np.asarray(out)
+            metrics = multiclass_metrics(confusion, self.class_names)
+        else:
+            counts = np.zeros((self.num_classes, 4))
+            exact = 0.0
+            for xb, yb, mask in batches(x, y, bs):
+                c, e = eval_fn(
+                    state.params,
+                    state.extra_vars,
+                    jax.device_put(jnp.asarray(xb), shard),
+                    jax.device_put(jnp.asarray(yb), shard),
+                    jax.device_put(jnp.asarray(mask), shard),
+                )
+                counts += np.asarray(c)
+                exact += float(e)
+            metrics = multilabel_metrics(counts, exact, float(len(x)), self.class_names)
+
+        metrics.inference_duration = time.time() - start
+        if run is not None:
+            metrics.training_duration = run.training_duration
+            metrics.trainable_params = run.trainable_params
+            metrics.non_trainable_params = run.non_trainable_params
+            metrics.total_params = run.total_params
+            metrics.epoch_losses = run.epoch_losses
+            metrics.epoch_accs = run.epoch_accs
+        if log:
+            print_metric_block(metrics, self.class_names, self.classif_mode)
+        return metrics
