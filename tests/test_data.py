@@ -1,0 +1,198 @@
+"""Data layer: samplers (host parity + device), decode, HDF5 ingest cache."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vct.data.samplers import (
+    duplicate_frames,
+    sad_sampling,
+    sample_frames,
+    ssim_pair,
+    ssim_sampling,
+    uniform_sampling,
+)
+
+
+def _frames(n, h=8, w=8, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (h, w, 3), np.uint8) for _ in range(n)]
+
+
+class TestHostSamplers:
+    def test_uniform_matches_reference_semantics(self):
+        # loader_data.py:35-41: stride = len//T, then truncate
+        frames = list(range(10))
+        out = uniform_sampling(frames, 4)
+        assert out == [0, 2, 4, 6]  # interval 2, first 4
+        assert uniform_sampling(frames, 3) == [0, 3, 6]
+        assert uniform_sampling([1, 2], 5) == [1, 2]  # short passthrough
+
+    def test_duplicate_frames_cyclic(self):
+        # loader_data.py:43-51: whole-list repetition, truncated
+        assert duplicate_frames([1, 2, 3], 7) == [1, 2, 3, 1, 2, 3, 1]
+        assert duplicate_frames([1, 2, 3], 2) == [1, 2]
+
+    def test_ssim_pair_identical_is_one(self):
+        f = _frames(1)[0]
+        assert ssim_pair(f, f) == pytest.approx(1.0, abs=1e-9)
+
+    def test_ssim_pair_different_below_one(self):
+        a, b = _frames(2)
+        assert ssim_pair(a, b) < 0.5
+
+    def test_ssim_sampling_keeps_first_and_most_changed(self):
+        # constant clip except two big jumps -> those frames get selected
+        base = np.zeros((8, 8, 3), np.uint8)
+        frames = [base.copy() for _ in range(8)]
+        frames[3] = np.full((8, 8, 3), 255, np.uint8)
+        frames[6] = np.full((8, 8, 3), 128, np.uint8)
+        out = ssim_sampling(frames, 4)
+        assert len(out) == 4
+        picked = [
+            i for i, f in enumerate(frames) if any(f is o for o in out)
+        ]
+        assert 0 in picked and 3 in picked
+
+    def test_sad_sampling_selects_motion(self):
+        base = np.zeros((8, 8, 3), np.uint8)
+        frames = [base.copy() for _ in range(10)]
+        frames[5] = np.full((8, 8, 3), 200, np.uint8)
+        out = sad_sampling(frames, 3)
+        picked = [i for i, f in enumerate(frames) if any(f is o for o in out)]
+        # transition into and out of frame 5 are the top scores
+        assert 0 in picked and 5 in picked
+
+    def test_sample_frames_pads_short(self):
+        frames = _frames(3)
+        out = sample_frames(frames, 6, "uniform")
+        assert len(out) == 6
+
+    def test_unknown_method(self):
+        with pytest.raises(KeyError, match="Unknown sampling method"):
+            sample_frames(_frames(3), 2, "warp")
+
+
+class TestDeviceSamplers:
+    def test_device_sad_matches_host_scores(self):
+        import jax.numpy as jnp
+
+        from vct.data.samplers import device_frame_scores
+
+        clip = np.stack(_frames(6)).astype(np.float32)
+        got = np.asarray(device_frame_scores(jnp.asarray(clip), "sad"))
+        want = [
+            np.abs(clip[i] - clip[i - 1]).sum() for i in range(1, len(clip))
+        ]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_device_ssim_close_to_host(self):
+        import jax.numpy as jnp
+
+        from vct.data.samplers import _device_ssim
+
+        clip = np.stack(_frames(5)).astype(np.float32)
+        got = np.asarray(_device_ssim(jnp.asarray(clip[:-1]), jnp.asarray(clip[1:])))
+        want = [ssim_pair(clip[i - 1], clip[i]) for i in range(1, len(clip))]
+        # device version skips the edge-padded border crop subtleties;
+        # scores only need to induce the same ranking
+        np.testing.assert_allclose(got, want, atol=0.05)
+
+    def test_device_selection_pipeline(self):
+        import jax.numpy as jnp
+
+        from vct.data.preprocess import device_sample_clips
+
+        rng = np.random.RandomState(0)
+        raw = rng.randint(0, 256, (2, 12, 8, 8, 3), np.uint8)
+        out = device_sample_clips(jnp.asarray(raw), 5, method="sad")
+        assert out.shape == (2, 5, 8, 8, 3)
+        assert out.dtype == jnp.float32
+        assert float(out.max()) <= 1.0
+
+    def test_preprocess_normalize_resize(self):
+        import jax.numpy as jnp
+
+        from vct.data.preprocess import preprocess_clips
+
+        raw = np.full((1, 2, 8, 8, 3), 255, np.uint8)
+        out = preprocess_clips(jnp.asarray(raw), out_hw=(4, 4))
+        assert out.shape == (1, 2, 4, 4, 3)
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def video_dataset_dir(tmp_path_factory):
+    """Write a tiny 2-class mp4 dataset with cv2."""
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("videos")
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    rng = np.random.RandomState(0)
+    for cls in ("classA", "classB"):
+        d = root / cls
+        d.mkdir()
+        for v in range(2):
+            path = str(d / f"vid{v}.mp4")
+            w = cv2.VideoWriter(path, fourcc, 10.0, (32, 32))
+            assert w.isOpened()
+            for _ in range(12):
+                w.write(rng.randint(0, 256, (32, 32, 3), np.uint8))
+            w.release()
+    return str(root)
+
+
+class TestIngest:
+    def test_decode_video(self, video_dataset_dir):
+        from vct.data.video import decode_video
+
+        path = os.path.join(video_dataset_dir, "classA", "vid0.mp4")
+        frames = decode_video(path, 16, 16)
+        assert len(frames) == 12
+        assert frames[0].shape == (16, 16, 3)
+        assert frames[0].dtype == np.uint8
+
+    def test_hdf5_cache_build_and_train(self, video_dataset_dir, tmp_path):
+        from vct.core.config import Config
+        from vct.data.ingest import load_or_build_dataset
+
+        cfg = Config().replace(**{
+            "data.dataset_path": video_dataset_dir,
+            "data.processed_data_path": str(tmp_path),
+            "data.sequence_length": "6",
+            "data.img_height": "16",
+            "data.img_width": "16",
+            "data.decode_workers": "1",
+            "model.num_classes": "2",
+            "train.batch_size": "2",
+        })
+        x, y, classes = load_or_build_dataset(cfg)
+        assert x.shape == (4, 6, 16, 16, 3)
+        assert sorted(classes) == ["classA", "classB"]
+        assert set(y.tolist()) == {0, 1}
+        assert 0.0 <= x.min() and x.max() <= 1.0
+        # cache file uses the config-keyed name and reloads identically
+        assert os.path.exists(cfg.data.data_file)
+        x2, y2, _ = load_or_build_dataset(cfg)
+        np.testing.assert_array_equal(x, x2)
+        np.testing.assert_array_equal(y, y2)
+
+    def test_inference_loader(self, video_dataset_dir):
+        from vct.data.ingest import load_dataset_inference
+
+        x, names = load_dataset_inference(
+            os.path.join(video_dataset_dir, "classA"),
+            sequence_length=6, img_height=16, img_width=16, decode_workers=1,
+        )
+        assert x.shape == (2, 6, 16, 16, 3)
+        assert names == ["vid0.mp4", "vid1.mp4"]
+
+    def test_inference_loader_skip(self, video_dataset_dir):
+        from vct.data.ingest import load_dataset_inference
+
+        x, names = load_dataset_inference(
+            os.path.join(video_dataset_dir, "classA"),
+            sequence_length=6, img_height=16, img_width=16,
+            skip=["vid0.mp4"], decode_workers=1,
+        )
+        assert names == ["vid1.mp4"]

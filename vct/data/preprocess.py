@@ -1,0 +1,71 @@
+"""On-device preprocessing: the TPU tail of the ingest pipeline.
+
+The reference preprocesses per-frame on the host (resize + BGR->RGB + /255 in
+the cv2 loop, ``loader_data.py:161-182``). Here the host stops at decoded
+uint8 frames; everything after runs on device inside one jitted function
+(fusable by XLA, or via the Pallas kernel in ``vct.ops.preprocess_pallas``):
+
+    uint8 (B, L, H, W, 3)
+      -> f32 /255 normalize            (loader_data.py:182)
+      -> optional bilinear resize      (cv2.INTER_LINEAR equivalent)
+      -> optional content-aware frame selection on device
+         (SAD / SSIM / flow-proxy scores + top-k gather, vct.data.samplers)
+      -> (B, T, h, w, 3) model input
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vct.data.samplers import device_frame_scores, device_select_topk
+
+__all__ = ["preprocess_clips", "device_sample_clips"]
+
+
+def _resize_bilinear(x, out_h: int, out_w: int):
+    """cv2.INTER_LINEAR-equivalent resize (half-pixel centers) over the last
+    three axes of (..., H, W, C)."""
+    shape = x.shape[:-3] + (out_h, out_w, x.shape[-1])
+    return jax.image.resize(x, shape, method="linear")
+
+
+@partial(jax.jit, static_argnames=("out_hw", "normalize"))
+def preprocess_clips(
+    raw: jax.Array,
+    out_hw: Optional[Tuple[int, int]] = None,
+    normalize: bool = True,
+) -> jax.Array:
+    """uint8 (B, T, H, W, 3) -> float32 model input, fused on device."""
+    x = raw.astype(jnp.float32)
+    if normalize:
+        x = x / 255.0
+    if out_hw is not None and out_hw != raw.shape[-3:-1]:
+        x = _resize_bilinear(x, out_hw[0], out_hw[1])
+    return x
+
+
+@partial(jax.jit, static_argnames=("sequence_length", "method", "out_hw"))
+def device_sample_clips(
+    raw: jax.Array,
+    sequence_length: int,
+    method: str = "sad",
+    out_hw: Optional[Tuple[int, int]] = None,
+) -> jax.Array:
+    """uint8 (B, L, H, W, 3) with L >= T: score transitions on device, keep
+    frame 0 + the (T-1) most-dynamic frames per clip, then normalize/resize.
+
+    The device analogue of the host samplers — SAD is exact; SSIM matches the
+    host uniform-window SSIM; "flow" is the documented difference-energy proxy
+    for Farneback magnitude (SURVEY.md §7 hard-part 5).
+    """
+
+    def one(clip):
+        scores = device_frame_scores(clip, method)
+        return device_select_topk(clip, scores, sequence_length)
+
+    selected = jax.vmap(one)(raw)
+    return preprocess_clips(selected, out_hw=out_hw)

@@ -1,0 +1,121 @@
+"""Host-side video decode.
+
+OpenCV decode loop matching the reference (``loader_data.py:152-166``:
+read -> resize -> BGR->RGB), kept on the host (video codecs don't run on
+TPU), but parallelised across a process pool with prefetch so decode overlaps
+device compute — the reference decodes serially in the training process
+(SURVEY.md §3.1 flags this as the real bottleneck at high clip rates).
+
+Note the reference passes ``(IMG_HEIGHT, IMG_WIDTH)`` to ``cv2.resize``,
+whose argument order is (width, height) (``loader_data.py:162``) — harmless
+for its square configs; we pass (width, height) correctly.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ProcessPoolExecutor
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["decode_video", "decode_and_sample", "ParallelDecoder"]
+
+
+def decode_video(
+    path: str,
+    height: int,
+    width: int,
+    max_frames: Optional[int] = None,
+    to_rgb: bool = True,
+) -> List[np.ndarray]:
+    """Decode a video into a list of resized HxWx3 uint8 RGB frames."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"Could not open video file {path}")
+    frames: List[np.ndarray] = []
+    while max_frames is None or len(frames) < max_frames:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frame = cv2.resize(frame, (width, height))
+        if to_rgb:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        frames.append(frame)
+    cap.release()
+    return frames
+
+
+def decode_and_sample(
+    path: str,
+    height: int,
+    width: int,
+    sequence_length: int,
+    sampling_method: str = "uniform",
+    normalize: bool = True,
+) -> np.ndarray:
+    """Full per-clip host pipeline: decode -> sample -> pad -> (T,H,W,3).
+
+    Returns float32 in [0,1] when ``normalize`` (reference /255,
+    loader_data.py:182) else uint8 (for the on-device preprocessing path,
+    which does the normalize on TPU).
+    """
+    from vct.data.samplers import sample_frames
+
+    # Uniform sampling only needs the first T*interval frames when the
+    # clip is long, but interval depends on total length — decode all for
+    # parity with the reference's read-everything loop.
+    frames = decode_video(path, height, width)
+    if not frames:
+        raise ValueError(f"No frames found in {path}")
+    frames = sample_frames(frames, sequence_length, sampling_method)
+    clip = np.stack(frames).astype(np.float32 if normalize else np.uint8)
+    if normalize:
+        clip /= 255.0
+    return clip
+
+
+def _decode_one(args) -> Tuple[str, Optional[np.ndarray], str]:
+    path, h, w, t, method, normalize = args
+    try:
+        return path, decode_and_sample(path, h, w, t, method, normalize), ""
+    except Exception as e:  # defensive-skip style of the reference
+        return path, None, str(e)
+
+
+class ParallelDecoder:
+    """Process-pool decode with bounded in-flight prefetch."""
+
+    def __init__(self, workers: int = 4):
+        self.workers = max(1, workers)
+
+    def decode_many(
+        self,
+        paths: Iterable[str],
+        height: int,
+        width: int,
+        sequence_length: int,
+        sampling_method: str = "uniform",
+        normalize: bool = True,
+        on_error=None,
+    ):
+        """Yields (path, clip) in input order, skipping failed clips."""
+        jobs = [
+            (p, height, width, sequence_length, sampling_method, normalize)
+            for p in paths
+        ]
+        if self.workers == 1 or len(jobs) <= 1:
+            results = map(_decode_one, jobs)
+        else:
+            pool = ProcessPoolExecutor(max_workers=self.workers)
+            results = pool.map(_decode_one, jobs, chunksize=4)
+        for path, clip, err in results:
+            if clip is None:
+                if on_error is not None:
+                    on_error(path, err)
+                else:
+                    print(f"Error processing {os.path.basename(path)}: {err}")
+                continue
+            yield path, clip

@@ -119,6 +119,19 @@ class Trainer:
         self._tx = self._make_optimizer()
         self._train_step = None
         self._eval_step = None
+        # Batches must divide evenly over the mesh data axis; pad with
+        # mask-0 rows up to the next multiple (loss/metrics ignore padding).
+        data_size = self.mesh.shape["data"]
+        bs = cfg.train.batch_size
+        self._padded_bs = ((bs + data_size - 1) // data_size) * data_size
+
+    def _pad_batch(self, xb, yb, mask):
+        pad = self._padded_bs - xb.shape[0]
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+            yb = np.concatenate([yb, np.zeros((pad,) + yb.shape[1:], yb.dtype)])
+            mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+        return xb, yb, mask
 
     # ------------------------------------------------------------------
     def _make_optimizer(self):
@@ -251,6 +264,7 @@ class Trainer:
         for epoch in range(t.epochs):
             running_loss, correct, total = 0.0, 0.0, 0.0
             for xb, yb, mask in batches(x, y, t.batch_size, shuffle=True, rng=rng):
+                xb, yb, mask = self._pad_batch(xb, yb, mask)
                 xb = jax.device_put(jnp.asarray(xb), shard)
                 yb = jax.device_put(jnp.asarray(yb), shard)
                 mb = jax.device_put(jnp.asarray(mask), shard)
@@ -308,6 +322,7 @@ class Trainer:
         if self.classif_mode == "multiclass":
             confusion = np.zeros((self.num_classes, self.num_classes))
             for xb, yb, mask in batches(x, y, bs):
+                xb, yb, mask = self._pad_batch(xb, yb, mask)
                 out = eval_fn(
                     state.params,
                     state.extra_vars,
@@ -321,6 +336,7 @@ class Trainer:
             counts = np.zeros((self.num_classes, 4))
             exact = 0.0
             for xb, yb, mask in batches(x, y, bs):
+                xb, yb, mask = self._pad_batch(xb, yb, mask)
                 c, e = eval_fn(
                     state.params,
                     state.extra_vars,
