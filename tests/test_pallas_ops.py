@@ -1,0 +1,109 @@
+"""Pallas kernel tests (run in interpret mode on CPU; compiled on TPU with
+VCT_TEST_TPU=1). Golden reference = the XLA implementations that are
+themselves golden-tested against torch / numpy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vct.models.ssm import selective_scan
+from vct.ops.lstm_pallas import gru_scan_pallas, lstm_scan_pallas, _gru_ref, _lstm_ref
+from vct.ops.preprocess_pallas import normalize_frames_pallas
+
+
+def _ssm_inputs(B=2, L=12, D=8, N=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.randn(B, L, D), jnp.float32),
+        jnp.asarray(np.abs(rng.randn(B, L, D)) * 0.5, jnp.float32),
+        jnp.asarray(-np.abs(rng.randn(D, N)), jnp.float32),
+        jnp.asarray(rng.randn(B, L, N), jnp.float32),
+        jnp.asarray(rng.randn(B, L, N), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_selective_scan_pallas_matches_associative(reverse):
+    args = _ssm_inputs()
+    want = selective_scan(*args, reverse=reverse, impl="associative")
+    got = selective_scan(*args, reverse=reverse, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_selective_scan_pallas_grad():
+    args = _ssm_inputs(B=1, L=6, D=4, N=3)
+
+    def loss(impl):
+        def f(u, delta, A, B, C):
+            return jnp.sum(selective_scan(u, delta, A, B, C, impl=impl) ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(*args)
+
+    for gp, ga in zip(loss("pallas"), loss("associative")):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(ga), atol=1e-3, rtol=1e-3)
+
+
+def test_lrcn_mamba_pallas_impl_matches():
+    from vct.core.config import ModelConfig
+    from vct.models import build_model
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 32, 32, 3), jnp.float32)
+    outs = {}
+    for impl in ("associative", "pallas"):
+        cfg = ModelConfig(
+            num_classes=4, cnn_backbone="resnet18", rnn_type="mamba",
+            rnn_input_size=8, rnn_layer=2, scan_impl=impl,
+        )
+        model = build_model(cfg, 4)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        outs[impl] = np.asarray(model.apply(variables, x))
+    np.testing.assert_allclose(outs["pallas"], outs["associative"], atol=1e-4)
+
+
+@pytest.mark.parametrize("op,ref,gates", [
+    (lstm_scan_pallas, _lstm_ref, 4),
+    (gru_scan_pallas, _gru_ref, 3),
+])
+def test_rnn_pallas_matches_ref(op, ref, gates):
+    B, T, H = 2, 9, 6
+    rng = np.random.RandomState(0)
+    xp = jnp.asarray(rng.randn(B, T, gates * H), jnp.float32)
+    w_hh = jnp.asarray(rng.randn(H, gates * H) * 0.3, jnp.float32)
+    b_hh = jnp.asarray(rng.randn(gates * H) * 0.1, jnp.float32)
+    got = op(xp, w_hh, b_hh)
+    want = ref(xp, w_hh, b_hh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+    # gradients flow through the custom_vjp
+    g = jax.grad(lambda *a: jnp.sum(op(*a) ** 2), argnums=(0, 1, 2))(xp, w_hh, b_hh)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 2))(xp, w_hh, b_hh)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_lstm_module_pallas_impl_matches_torch_layout():
+    """The flax LSTM with scan_impl=pallas equals the lax.scan path."""
+    from vct.models.recurrent import LSTM
+
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 7, 5), jnp.float32)
+    m_scan = LSTM(hidden_size=6, num_layers=2, bidirectional=True, scan_impl="scan")
+    params = m_scan.init(jax.random.PRNGKey(0), x)
+    m_pal = LSTM(hidden_size=6, num_layers=2, bidirectional=True, scan_impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(m_pal.apply(params, x)),
+        np.asarray(m_scan.apply(params, x)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_normalize_frames_pallas():
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 256, (2, 3, 8, 8, 3), np.uint8)
+    out = normalize_frames_pallas(jnp.asarray(raw))
+    np.testing.assert_allclose(np.asarray(out), raw / 255.0, atol=1e-6)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    out2 = normalize_frames_pallas(jnp.asarray(raw), mean, std)
+    np.testing.assert_allclose(
+        np.asarray(out2), (raw / 255.0 - mean) / std, atol=1e-5
+    )

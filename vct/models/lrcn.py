@@ -106,6 +106,7 @@ class LRCN(nn.Module):
                 hidden_size=self.hidden_size,
                 num_layers=self.rnn_layer,
                 bidirectional=self.bidirectional,
+                scan_impl="pallas" if self.scan_impl == "pallas" else "scan",
                 name="rnn",
             )(feats)
             rnn_output_size = self.hidden_size * (2 if self.bidirectional else 1)

@@ -63,6 +63,7 @@ class _RecurrentBase(nn.Module):
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
+    scan_impl: str = "scan"  # scan | pallas
 
     n_gates: int = 0  # overridden
 
@@ -85,6 +86,13 @@ class _RecurrentBase(nn.Module):
 
         x_proj = x @ w_ih + b_ih  # (B, T, G*H) — single MXU matmul over B·T
         B = x.shape[0]
+        if self.scan_impl == "pallas":
+            from vct.ops.lstm_pallas import gru_scan_pallas, lstm_scan_pallas
+
+            xp = jnp.flip(x_proj, axis=1) if reverse else x_proj
+            op = lstm_scan_pallas if self.n_gates == 4 else gru_scan_pallas
+            y = op(xp, w_hh, b_hh)
+            return jnp.flip(y, axis=1) if reverse else y
         h0 = jnp.zeros((B, H), dtype=x.dtype)
         if self.n_gates == 4:
             c0 = jnp.zeros((B, H), dtype=x.dtype)
@@ -118,6 +126,7 @@ class RNNStack(nn.Module):
     hidden_size: int
     num_layers: int
     bidirectional: bool = False
+    scan_impl: str = "scan"
 
     @nn.compact
     def __call__(self, x):
@@ -126,5 +135,6 @@ class RNNStack(nn.Module):
             hidden_size=self.hidden_size,
             num_layers=self.num_layers,
             bidirectional=self.bidirectional,
+            scan_impl=self.scan_impl,
             name=self.rnn_type,
         )(x)
