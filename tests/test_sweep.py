@@ -1,0 +1,188 @@
+"""Sweep layer: store, grid/bayesian/genetic strategies, runner semantics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vct.core.config import Config
+from vct.core.metrics_contract import RunMetrics
+from vct.sweep.runner import SweepRunner
+from vct.sweep.store import SweepStore, is_config_duplicate
+from vct.sweep.strategies import bayesian_optimization, genetic_algorithm, grid_search
+
+
+class StubRunner(SweepRunner):
+    """SweepRunner with training stubbed by an analytic objective."""
+
+    def __init__(self, base_cfg, store, fn):
+        super().__init__(base_cfg, store=store)
+        self._fn = fn
+        self.calls = []
+
+    def _train_once(self, cfg):
+        raise AssertionError("should not be called")
+
+    def run_training(self, config, test_runs=None):
+        self.calls.append(dict(config))
+        f1 = self._fn(config)
+        if f1 > self.base_cfg.sweep.f1_threshold:
+            self.best_results.append(
+                {"config": dict(config), "metrics": {"f1_score": f1},
+                 "best_model_filename": "stub"}
+            )
+            self.store.save(self.best_results)
+        return f1, "stub"
+
+    def objective(self, config):
+        f1, _ = self.run_training(config, test_runs=1)
+        return f1
+
+
+def _cfg(tmp_path, threshold=0.0):
+    return Config().replace(**{
+        "sweep.checkpoint_file": str(tmp_path / "ckpt.json"),
+        "sweep.best_model_dir": str(tmp_path / "best"),
+        "sweep.f1_threshold": str(threshold),
+        "sweep.test_runs": "1",
+    })
+
+
+def test_store_roundtrip_and_dup(tmp_path):
+    store = SweepStore(str(tmp_path / "s.json"))
+    assert store.load() == []
+    store.append({"config": {"a": 1}, "metrics": {"f1_score": 0.5}})
+    store.append({"config": {"a": 2}, "metrics": {"f1_score": 0.7}})
+    assert len(store.load()) == 2
+    assert store.best()["metrics"]["f1_score"] == 0.7
+    assert is_config_duplicate(store.completed_configs(), {"a": 1})
+    assert not is_config_duplicate(store.completed_configs(), {"a": 3})
+
+
+def test_store_invalid_json(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text("{invalid")
+    assert SweepStore(str(p)).load() == []
+
+
+def test_grid_search_covers_product_and_resumes(tmp_path):
+    cfg = _cfg(tmp_path)
+    space = {"model.rnn_type": ["lstm", "gru"], "model.rnn_layer": [1, 2]}
+    r = StubRunner(cfg, SweepStore(cfg.sweep.checkpoint_file),
+                   lambda c: 0.5 + 0.1 * c["model.rnn_layer"])
+    grid_search(r, space)
+    assert len(r.calls) == 4
+    # resume skips all completed configs
+    r2 = StubRunner(cfg, SweepStore(cfg.sweep.checkpoint_file), lambda c: 0.9)
+    grid_search(r2, space)
+    assert r2.calls == []
+
+
+def test_bayesian_beats_center_seeking(tmp_path):
+    cfg = _cfg(tmp_path)
+
+    def objective(c):  # max at hidden=48, lr=1e-3
+        h = c["model.hidden_size"]
+        lr = c["train.learning_rate"]
+        import math
+        return 1.0 - abs(h - 48) / 64 - abs(math.log10(lr) + 3) / 4
+
+    space = {
+        "model.hidden_size": {"type": "int", "low": 8, "high": 64},
+        "train.learning_rate": {"type": "float", "low": 1e-5, "high": 1e-1, "log": True},
+    }
+    r = StubRunner(cfg, SweepStore(cfg.sweep.checkpoint_file), objective)
+    trials_path = str(tmp_path / "trials.json")
+    bayesian_optimization(r, space, n_trials=30, n_warmup=8, seed=1,
+                          trials_path=trials_path)
+    trials = json.load(open(trials_path))
+    assert len(trials) == 30
+    warmup_best = max(t["value"] for t in trials[:8])
+    guided_best = max(t["value"] for t in trials[8:])
+    assert guided_best >= warmup_best - 0.05  # guided phase competitive
+    # resume continues from the journal instead of restarting
+    r2 = StubRunner(cfg, SweepStore(cfg.sweep.checkpoint_file), objective)
+    bayesian_optimization(r2, space, n_trials=32, seed=1, trials_path=trials_path)
+    assert len(json.load(open(trials_path))) == 32
+    assert len(r2.calls) == 2
+
+
+def test_genetic_algorithm_improves_and_resumes(tmp_path):
+    cfg = _cfg(tmp_path)
+
+    def objective(c):
+        return 1.0 - abs(c["model.hidden_size"] - 32) / 64
+
+    space = {"model.hidden_size": {"type": "int", "low": 1, "high": 64},
+             "model.rnn_type": ["lstm", "gru", "mamba"]}
+    ckpt = str(tmp_path / "ga.json")
+    r = StubRunner(cfg, SweepStore(cfg.sweep.checkpoint_file), objective)
+    genetic_algorithm(r, space, population_size=6, generations=3, seed=0,
+                      checkpoint_path=ckpt)
+    saved = json.load(open(ckpt))
+    assert saved["generation"] == 2
+    assert saved["hall_of_fame"]["fitness"] > 0.5
+    # resume: no re-run of completed generations
+    r2 = StubRunner(cfg, SweepStore(cfg.sweep.checkpoint_file), objective)
+    genetic_algorithm(r2, space, population_size=6, generations=3, seed=0,
+                      checkpoint_path=ckpt)
+    assert r2.calls == []
+
+
+def test_runner_threshold_and_artifact_name(tmp_path):
+    cfg = _cfg(tmp_path, threshold=0.71)
+    calls = {"n": 0}
+
+    class R(SweepRunner):
+        def _train_once(self, cfg):
+            calls["n"] += 1
+            return RunMetrics(f1=0.5 + 0.3 * (calls["n"] % 2))  # 0.8, 0.5, 0.8
+
+    r = R(cfg, store=SweepStore(cfg.sweep.checkpoint_file))
+    best_f1, name = r.run_training({"model.rnn_type": "lstm"}, test_runs=3)
+    assert best_f1 == pytest.approx(0.8)
+    assert name and "rnntypelstm" in name
+    results = r.store.load()
+    assert len(results) == 1  # only above-threshold improvements recorded
+    assert results[0]["metrics"]["f1_score"] == pytest.approx(0.8)
+    # below threshold: best_f1 returned but nothing recorded
+    cfg2 = _cfg(tmp_path, threshold=0.95)
+
+    class R2(SweepRunner):
+        def _train_once(self, cfg):
+            return RunMetrics(f1=0.6)
+
+    r2 = R2(cfg2, store=SweepStore(str(tmp_path / "c2.json")))
+    f1, name2 = r2.run_training({}, test_runs=1)
+    assert f1 == pytest.approx(0.6) and name2 is None
+    assert r2.store.load() == []
+
+
+@pytest.mark.slow
+def test_real_inprocess_sweep(tmp_path):
+    """One real tiny training through the sweep runner (integration)."""
+    from vct.data.synthetic import generate_dummy_data
+
+    cfg = Config().replace(**{
+        "sweep.checkpoint_file": str(tmp_path / "ckpt.json"),
+        "sweep.best_model_dir": str(tmp_path / "best"),
+        "sweep.f1_threshold": "-1.0",
+        "sweep.test_runs": "1",
+        "model.cnn_backbone": "resnet18",
+        "model.rnn_input_size": "8",
+        "model.rnn_layer": "1",
+        "data.sequence_length": "4",
+        "data.img_height": "32",
+        "data.img_width": "32",
+        "train.batch_size": "8",
+        "train.epochs": "1",
+        "train.model_path": str(tmp_path / "model"),
+    })
+    data = generate_dummy_data(16, 4, 32, 32, 4)
+    r = SweepRunner(cfg, store=SweepStore(cfg.sweep.checkpoint_file), data=data)
+    f1, name = r.run_training({"model.rnn_type": "lstm"})
+    assert f1 >= 0.0
+    results = r.store.load()
+    assert len(results) == 1
+    assert os.path.isdir(os.path.join(cfg.sweep.best_model_dir, name))
