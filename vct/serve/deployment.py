@@ -1,0 +1,161 @@
+"""Batch inference CLI (C19).
+
+The counterpart of ``medsos_lrcn/src/deployment.py:61-191``: load a model,
+classify a directory of videos, print per-video sorted labels + scores +
+timestamp as JSON, print label counts, optionally POST each result to the
+backend. Same CLI surface (``--model --videos --sampling --sequence_length``,
+``deployment.py:179-191``) — but the model is an Orbax checkpoint+manifest
+(rebuilt, not unpickled), inference is one jitted **batched** forward over
+all clips (the reference loops clip-by-clip with batch 1,
+``deployment.py:65-70``), and the URL construction keeps the
+``@user_video_<id>`` filename convention (``loader_data.py:546-553``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+from collections import Counter
+from datetime import datetime
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["classify_videos", "classify_and_display", "post_results", "construct_url", "main"]
+
+
+def construct_url(video_name: str) -> Optional[str]:
+    """'@user_video_123.mp4' -> tiktok URL (loader_data.py:546-553)."""
+    match = re.match(r"(?P<username>@.+?)_video_(?P<video_id>\d+)", video_name)
+    if match:
+        return (
+            f"https://www.tiktok.com/{match.group('username')}"
+            f"/video/{match.group('video_id')}"
+        )
+    return None
+
+
+def load_model(model_dir: str):
+    """Rebuild (model, variables, class_names, cfg) from a checkpoint dir."""
+    import jax
+
+    from vct.models import build_model
+    from vct.train.checkpoint import load_checkpoint
+
+    variables, cfg, class_names, _ = load_checkpoint(model_dir)
+    model = build_model(cfg.model, cfg.data.sequence_length)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    return model, variables, class_names, cfg
+
+
+def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32):
+    """Jitted batched softmax probabilities for (N, T, H, W, 3) clips."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def infer(variables, x):
+        return jax.nn.softmax(model.apply(variables, x), axis=-1)
+
+    probs = []
+    for start in range(0, len(clips), batch_size):
+        chunk = jnp.asarray(clips[start : start + batch_size])
+        probs.append(np.asarray(infer(variables, chunk)))
+    return np.concatenate(probs) if probs else np.zeros((0,))
+
+
+def classify_and_display(
+    model, variables, clips, video_names: List[str], class_names: List[str]
+) -> List[dict]:
+    """Reference output contract (deployment.py:61-101)."""
+    results = []
+    label_counter = Counter()
+    probs = classify_videos(model, variables, clips)
+    for idx, name in enumerate(video_names):
+        order = np.argsort(-probs[idx])
+        sorted_labels = [class_names[i] for i in order]
+        sorted_scores = probs[idx][order].tolist()
+        results.append(
+            {
+                "video_name": name,
+                "labels": sorted_labels,
+                "scores": sorted_scores,
+                "timestamp": datetime.now().isoformat(),
+            }
+        )
+        label_counter[sorted_labels[0]] += 1
+        print(f"Processed {name}: {sorted_labels[0]}")
+
+    print(json.dumps(results, indent=4))
+    print("\nLabel Counts:")
+    for label, count in label_counter.items():
+        print(f"{label}: {count}")
+    return results
+
+
+def post_results(results: List[dict], backend_url: str) -> None:
+    """POST each result to the backend (deployment.py:103-132)."""
+    import requests
+
+    for result in results:
+        video_name = result["video_name"]
+        video_url = construct_url(video_name)
+        if not video_url:
+            print(f"Failed to construct URL for {video_name}")
+            continue
+        payload = {
+            "url": video_url,
+            "labels": result["labels"],
+            "scores": result["scores"],
+            "timestamp": result["timestamp"],
+        }
+        try:
+            response = requests.post(backend_url, json=payload, timeout=10)
+            if response.status_code in (200, 201):
+                print(f"Successfully sent classification result to backend for {video_name}")
+            else:
+                print(
+                    f"Failed to send classification result for {video_name}. "
+                    f"HTTP {response.status_code}: {response.text}"
+                )
+        except Exception as e:
+            print(f"Error sending result to backend for {video_name}: {e}")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Batch video classification")
+    parser.add_argument("--model", required=True, help="checkpoint directory")
+    parser.add_argument("--videos", required=True, help="directory of videos")
+    parser.add_argument("--sampling", default=None, help="override sampling method")
+    parser.add_argument("--sequence_length", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--post", action="store_true", help="POST results to backend")
+    parser.add_argument("--backend_url", default=None)
+    args = parser.parse_args(argv)
+
+    from vct.data.ingest import load_dataset_inference
+
+    model, variables, class_names, cfg = load_model(args.model)
+    sampling = args.sampling or cfg.data.sampling_method
+    seq_len = args.sequence_length or cfg.data.sequence_length
+    clips, names = load_dataset_inference(
+        args.videos,
+        sampling_method=sampling,
+        sequence_length=seq_len,
+        img_height=cfg.data.img_height,
+        img_width=cfg.data.img_width,
+    )
+    if len(names) == 0:
+        print("No videos found.")
+        return 1
+    results = classify_and_display(model, variables, clips, names, class_names)
+    if args.post:
+        post_results(results, args.backend_url or cfg.serve.backend_url)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""Queue inference worker (C21).
+
+The counterpart of ``medsos_lrcn/src/worker.py:104-155``: bind the PULL
+queue, and for each URL message download the video (TikTok downloader),
+decode + classify it, and POST the result to the backend. Differences from
+the reference, on purpose:
+
+  * the model loads **once** at startup and the forward stays jitted —
+    the reference ``torch.load``s the whole model for every message
+    (``worker.py:114``), a per-request deserialization of the entire network;
+  * no delete-while-iterating of video files (the reference's loader deletes
+    already-classified videos during the scan, ``loader_data.py:468-478``);
+    processed files are removed only after their result is POSTed.
+
+Configuration via env vars keeps the reference's surface
+(``worker.py:24-28``): MODEL_PATH, SAMPLING_METHOD, SEQUENCE_LENGTH,
+VIDEO_DIR, plus BACKEND_URL and QUEUE_PORT.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from vct.core.config import ServeConfig
+from vct.serve.deployment import classify_and_display, load_model, post_results
+from vct.serve.queue import QueuePull
+
+__all__ = ["Worker", "run_worker"]
+
+
+class Worker:
+    def __init__(self, cfg: ServeConfig, downloader=None):
+        self.cfg = cfg
+        self.downloader = downloader  # callable(url, save_dir) -> None
+        print(f"Loading model from {cfg.model_path}")
+        self.model, self.variables, self.class_names, self.model_cfg = load_model(
+            cfg.model_path
+        )
+        self.pull = QueuePull(port=cfg.queue_port)
+
+    def callback(self, url: str) -> None:
+        print(f"Processing message: {url}")
+        os.makedirs(self.cfg.video_dir, exist_ok=True)
+        if self.downloader is not None:
+            self.downloader(url, self.cfg.video_dir)
+        else:
+            from vct.serve.tiktok import save_tiktok_multi_urls
+
+            save_tiktok_multi_urls([url], save_video=True,
+                                   save_dir=self.cfg.video_dir)
+
+        from vct.data.ingest import load_dataset_inference
+
+        clips, names = load_dataset_inference(
+            self.cfg.video_dir,
+            sampling_method=self.cfg.sampling_method,
+            sequence_length=self.cfg.sequence_length,
+            img_height=self.model_cfg.data.img_height,
+            img_width=self.model_cfg.data.img_width,
+        )
+        if len(names) == 0:
+            print("No videos to classify.")
+            return
+        results = classify_and_display(
+            self.model, self.variables, clips, names, self.class_names
+        )
+        post_results(results, self.cfg.backend_url)
+        for name in names:
+            path = os.path.join(self.cfg.video_dir, name)
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+    def run(self) -> None:
+        print(f"worker pulling on :{self.cfg.queue_port}")
+        self.pull.consume(self.callback)
+
+
+def run_worker(cfg: Optional[ServeConfig] = None) -> None:
+    cfg = cfg or ServeConfig(
+        model_path=os.environ.get("MODEL_PATH", ""),
+        sampling_method=os.environ.get("SAMPLING_METHOD", "uniform"),
+        sequence_length=int(os.environ.get("SEQUENCE_LENGTH", "60")),
+        video_dir=os.environ.get("VIDEO_DIR", "/tmp/vct_videos"),
+        queue_port=int(os.environ.get("QUEUE_PORT", "54000")),
+        app_stage=os.environ.get("APP_STAGE", "devel"),
+    )
+    Worker(cfg).run()
+
+
+if __name__ == "__main__":
+    run_worker()
