@@ -104,6 +104,13 @@ class ModelConfig:
     # here the flag actually works, defaulting to the reference's real
     # behavior (frozen).
     finetune: bool = False
+    # Partial freezing with finetune=True: comma-separated backbone param
+    # prefixes to keep frozen, e.g. "conv1,bn1,layer1,layer2" (the
+    # freeze_until_layer pattern of lrcn/rgb_lrcn.py:208-245).
+    freeze_until: str = ""
+    # Route the adapter through the Adapt DSL string in `adapt` instead of
+    # the canonical hardcoded 3-stage MLP (models_bidir.py:119-155 variant).
+    use_adapt_dsl: bool = False
     # VideoMamba-specific (lrcn/videomamba.py:332-386)
     vm_d_model: int = 512
     vm_d_inner: int = 2048
@@ -142,6 +149,10 @@ class TrainConfig:
     save_model: bool = True
     log_every: int = 0  # steps; 0 = per-epoch only
     checkpoint_keep: int = 3
+    # Observability: jax.profiler trace directory (first profiled epoch) and
+    # per-epoch history JSON (lrcn/training_history.json counterpart).
+    profile_dir: str = ""
+    history_path: str = ""
 
 
 @_frozen()

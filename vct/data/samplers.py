@@ -166,12 +166,42 @@ def duplicate_frames(frames: Sequence[np.ndarray], sequence_length: int):
     return out[:sequence_length]
 
 
+def ssim_sampling_most_unique(frames: Sequence[np.ndarray], sequence_length: int):
+    """Most-unique variant (``lrcn/dump_lrcn.py:68-102``): each middle frame
+    scores by its *maximum* dissimilarity to either neighbor,
+    max(|ssim(f,prev)-1|, |ssim(f,next)-1|); frame 0 always kept; top scorers
+    selected and re-sorted into temporal order."""
+    if len(frames) <= sequence_length:
+        return list(frames)
+    scores = []
+    for i in range(1, len(frames) - 1):
+        before = ssim_pair(frames[i], frames[i - 1])
+        after = ssim_pair(frames[i], frames[i + 1])
+        scores.append((max(abs(before - 1), abs(after - 1)), i))
+    scores.sort(reverse=True, key=lambda x: x[0])
+    selected = {0}
+    for _, idx in scores:
+        if len(selected) >= sequence_length:
+            break
+        selected.add(idx)
+    return [frames[i] for i in sorted(selected)[:sequence_length]]
+
+
+def optical_flow_sampling_most_unique(frames: Sequence[np.ndarray], sequence_length: int):
+    """Most-unique flow variant (``lrcn/dump_lrcn.py:165-192``) — identical
+    transition scoring to optical_flow_sampling, kept as a distinct name for
+    the reference's sampling-method registry."""
+    return optical_flow_sampling(frames, sequence_length)
+
+
 SAMPLERS = {
     "uniform": uniform_sampling,
     "ssim": ssim_sampling,
     "sad": sad_sampling,
     "optical_flow": optical_flow_sampling,
     "optiflow": optical_flow_sampling,
+    "ssim_most_unique": ssim_sampling_most_unique,
+    "optiflow_most_unique": optical_flow_sampling_most_unique,
 }
 
 

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from vct.core.registry import Registry
 from vct.models.backbones.densenet import densenet121
+from vct.models.backbones.efficientnet import efficientnet_b0
 from vct.models.backbones.mobilenet import mobilenet_v2
 from vct.models.backbones.resnet import (
     resnet18,
@@ -28,6 +29,7 @@ for _name, _factory in [
     ("densenet121", densenet121),
     ("vgg16", vgg16),
     ("alexnet", alexnet),
+    ("efficientnet_b0", efficientnet_b0),
 ]:
     BACKBONES.register(_name, _factory)
 

@@ -138,6 +138,7 @@ def build_lrcn(cfg: ModelConfig, sequence_length: int) -> LRCN:
         bidirectional=cfg.bidirectional,
         classif_mode=cfg.classif_mode,
         dropout=cfg.dropout,
+        adapt_mode=cfg.adapt if cfg.use_adapt_dsl else "",
         finetune=cfg.finetune,
         scan_impl=cfg.scan_impl,
         dtype=dtype,

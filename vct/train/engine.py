@@ -76,11 +76,29 @@ def compute_class_weights(y: np.ndarray, num_classes: int, classif_mode: str):
     return (neg / np.maximum(pos, 1.0)).astype(np.float32)
 
 
-def _param_label_tree(params, finetune: bool):
-    return {
-        k: ("freeze" if (k == FROZEN_KEY and not finetune) else "train")
-        for k in params
-    }
+def _param_label_tree(params, finetune: bool, freeze_until: str = ""):
+    """Optimizer labels: freeze the whole backbone (finetune=False), or —
+    with finetune=True and freeze_until set — only the listed backbone
+    prefixes (rgb_lrcn.py:208-245 freeze_until_layer pattern)."""
+    labels = {}
+    prefixes = [p.strip() for p in freeze_until.split(",") if p.strip()]
+    for k in params:
+        if k != FROZEN_KEY:
+            labels[k] = "train"
+        elif not finetune:
+            labels[k] = "freeze"
+        elif prefixes:
+            labels[k] = {
+                kk: (
+                    "freeze"
+                    if any(kk == p or kk.startswith(p) for p in prefixes)
+                    else "train"
+                )
+                for kk in params[k]
+            }
+        else:
+            labels[k] = "train"
+    return labels
 
 
 def count_parameters(params, finetune: bool = False) -> Dict[str, int]:
@@ -151,7 +169,9 @@ class Trainer:
         tx = optax.chain(*chain)
         return optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()},
-            lambda params: _param_label_tree(params, self.cfg.model.finetune),
+            lambda params: _param_label_tree(
+                params, self.cfg.model.finetune, self.cfg.model.freeze_until
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -250,6 +270,8 @@ class Trainer:
         log: bool = True,
     ) -> Tuple[TrainState, RunMetrics]:
         """Epoch loop with the reference's stdout contract."""
+        from vct.utils.profiling import StepTimer, device_trace, write_history
+
         t = self.cfg.train
         if self._train_step is None:
             self._train_step = self._build_train_step()
@@ -257,22 +279,35 @@ class Trainer:
         shard = batch_sharding(self.mesh)
         rng = np.random.RandomState(t.seed)
         run = RunMetrics()
+        timer = StepTimer()
 
         start = time.time()
         stop = False
         best_loss, bad_epochs = float("inf"), 0
         for epoch in range(t.epochs):
             running_loss, correct, total = 0.0, 0.0, 0.0
-            for xb, yb, mask in batches(x, y, t.batch_size, shuffle=True, rng=rng):
-                xb, yb, mask = self._pad_batch(xb, yb, mask)
-                xb = jax.device_put(jnp.asarray(xb), shard)
-                yb = jax.device_put(jnp.asarray(yb), shard)
-                mb = jax.device_put(jnp.asarray(mask), shard)
-                state, loss, c, n = step_fn(state, xb, yb, mb)
-                bs = float(np.sum(mask))
-                running_loss += float(loss) * bs
-                correct += float(c)
-                total += float(n)
+            trace_ctx = device_trace(t.profile_dir if epoch == 0 else None)
+            with trace_ctx:
+                for step_i, (xb, yb, mask) in enumerate(
+                    batches(x, y, t.batch_size, shuffle=True, rng=rng)
+                ):
+                    xb, yb, mask = self._pad_batch(xb, yb, mask)
+                    xb = jax.device_put(jnp.asarray(xb), shard)
+                    yb = jax.device_put(jnp.asarray(yb), shard)
+                    mb = jax.device_put(jnp.asarray(mask), shard)
+                    timer.start()
+                    state, loss, c, n = step_fn(state, xb, yb, mb)
+                    loss_f = float(loss)  # forces completion for the timer
+                    timer.stop()
+                    bs = float(np.sum(mask))
+                    running_loss += loss_f * bs
+                    correct += float(c)
+                    total += float(n)
+                    if t.log_every and (step_i + 1) % t.log_every == 0:
+                        print(
+                            f"step {int(state.step)}: loss {loss_f:.4f} "
+                            f"({timer.last_ms:.1f} ms/step)"
+                        )
             epoch_loss = running_loss / max(len(x), 1)
             epoch_acc = correct / max(total, 1)
             run.epoch_losses.append(epoch_loss)
@@ -301,6 +336,18 @@ class Trainer:
             run.non_trainable_params = counts["Non-trainable parameters"]
             run.total_params = counts["Total parameters"]
             print_param_counts(run.trainable_params, run.non_trainable_params)
+        if t.history_path:
+            # per-epoch history JSON (lrcn/training_history.json counterpart)
+            write_history(
+                t.history_path,
+                {
+                    "train_loss": run.epoch_losses,
+                    "train_acc": run.epoch_accs,
+                    "training_duration": run.training_duration,
+                    "step_times": timer.summary(),
+                    "config": self.cfg.to_dict(),
+                },
+            )
         return state, run
 
     # ------------------------------------------------------------------

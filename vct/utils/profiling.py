@@ -1,0 +1,74 @@
+"""Tracing / profiling utilities.
+
+The reference's observability is two wall-clock prints
+(``train_eval.py:14,50-51,62,117-118``) plus a per-epoch history JSON in the
+videomamba trainer (``lrcn/mamba.py:412-420`` -> ``training_history.json``).
+This module keeps those contracts (the Trainer emits both) and adds what a
+TPU production stack actually uses: ``jax.profiler`` device traces viewable
+in XProf/TensorBoard, and a per-step timer with percentile summaries.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from typing import Dict, List, Optional
+
+__all__ = ["device_trace", "StepTimer", "write_history"]
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str]):
+    """jax.profiler trace context; no-op when log_dir is falsy."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    def __init__(self):
+        self.times: List[float] = []
+        self._t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self):
+        if self._t0 is not None:
+            self.times.append(time.perf_counter() - self._t0)
+            self._t0 = None
+
+    @property
+    def last_ms(self) -> float:
+        return self.times[-1] * 1e3 if self.times else 0.0
+
+    def summary(self) -> Dict[str, float]:
+        if not self.times:
+            return {"steps": 0}
+        ts = sorted(self.times)
+        n = len(ts)
+        return {
+            "steps": n,
+            "mean_ms": sum(ts) / n * 1e3,
+            "p50_ms": ts[n // 2] * 1e3,
+            "p90_ms": ts[min(n - 1, int(n * 0.9))] * 1e3,
+            "max_ms": ts[-1] * 1e3,
+        }
+
+
+def write_history(path: str, history: dict) -> None:
+    """Per-epoch training history JSON (lrcn/training_history.json shape)."""
+    import os
+
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(history, f, indent=2)
