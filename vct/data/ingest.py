@@ -23,6 +23,7 @@ from vct.data.video import ParallelDecoder
 __all__ = [
     "scan_classes",
     "build_dataset_cache",
+    "build_clipcache",
     "load_dataset_cache",
     "load_or_build_dataset",
     "load_dataset_simple",
@@ -113,14 +114,65 @@ def build_dataset_cache(cfg: Config, path: Optional[str] = None) -> Tuple[str, s
     return d.data_file, d.data_file, d.classes_file
 
 
-def load_dataset_cache(cfg: Config) -> Tuple[np.ndarray, np.ndarray, List[str]]:
-    import h5py
+def build_clipcache(cfg: Config, path: Optional[str] = None) -> str:
+    """Decode the dataset tree into the native uint8 clip cache
+    (``vct.data.clipcache``) — normalization happens on-device."""
+    from vct.data.clipcache import ClipCacheWriter
 
     d = cfg.data
+    path = path or d.dataset_path
+    classes = scan_classes(path)
+    print("Found classes:", classes)
+    num_classes = len(classes)
+    multiclass = cfg.model.classif_mode == "multiclass"
+    os.makedirs(d.processed_data_path, exist_ok=True)
+    decoder = ParallelDecoder(d.decode_workers)
+
+    total = 0
+    with ClipCacheWriter(
+        d.data_file, d.sequence_length, d.img_height, d.img_width, 3,
+        label_dim=0 if multiclass else num_classes,
+    ) as writer:
+        for class_idx, class_name in enumerate(classes):
+            videos = _class_videos(os.path.join(path, class_name), d.max_videos)
+            print(f"Processing class: {class_name} ({len(videos)} videos)")
+            for _, clip in decoder.decode_many(
+                videos, d.img_height, d.img_width, d.sequence_length,
+                d.sampling_method, normalize=False,
+            ):
+                if multiclass:
+                    writer.append(clip, class_idx)
+                else:
+                    onehot = np.zeros(num_classes, np.float32)
+                    onehot[class_idx] = 1.0
+                    writer.append(clip, onehot)
+                total += 1
+    np.save(d.classes_file, np.asarray(classes))
+    print(f"Dataset processing complete. Total videos: {total}")
+    return d.data_file
+
+
+def load_dataset_cache(cfg: Config) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    d = cfg.data
+    classes = [str(c) for c in np.load(d.classes_file, allow_pickle=True)]
+    if d.cache_format == "clipcache":
+        from vct.data.clipcache import ClipCacheLoader
+
+        with ClipCacheLoader(
+            d.data_file, batch_size=64, shuffle=False, workers=d.decode_workers
+        ) as loader:
+            xs, ys = [], []
+            for xb, yb in loader.epoch():
+                xs.append(xb)
+                ys.append(yb)
+        x = np.concatenate(xs).astype(np.float32) / 255.0
+        y = np.concatenate(ys)
+        return x, y, classes
+    import h5py
+
     with h5py.File(d.data_file, "r") as hf:
         x = np.asarray(hf["videos"])
         y = np.asarray(hf["labels"])
-    classes = [str(c) for c in np.load(d.classes_file, allow_pickle=True)]
     return x, y, classes
 
 
@@ -132,7 +184,10 @@ def load_or_build_dataset(cfg: Config):
                 "No dataset cache found and data.dataset_path is empty "
                 "(set data.synthetic=true for the synthetic harness)"
             )
-        build_dataset_cache(cfg)
+        if d.cache_format == "clipcache":
+            build_clipcache(cfg)
+        else:
+            build_dataset_cache(cfg)
     return load_dataset_cache(cfg)
 
 

@@ -351,6 +351,61 @@ class Trainer:
         return state, run
 
     # ------------------------------------------------------------------
+    def fit_stream(self, state: TrainState, loader, log: bool = True):
+        """Epoch loop over a native ClipCacheLoader: uint8 batches stream in
+        from the mmap prefetch threads, normalization happens on-device
+        (``vct.data.preprocess.preprocess_clips``), everything else matches
+        ``fit``."""
+        from vct.data.preprocess import preprocess_clips
+        from vct.utils.profiling import StepTimer
+
+        t = self.cfg.train
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        step_fn = self._train_step
+        shard = batch_sharding(self.mesh)
+        run = RunMetrics()
+        timer = StepTimer()
+
+        start = time.time()
+        for epoch in range(t.epochs):
+            running_loss, correct, total, seen = 0.0, 0.0, 0.0, 0
+            for xb_u8, yb in loader.epoch():
+                mask = np.ones(len(xb_u8), np.float32)
+                xb_u8_p, yb, mask = self._pad_batch(xb_u8, yb, mask)
+                raw = jax.device_put(jnp.asarray(xb_u8_p), shard)
+                xb = preprocess_clips(raw)
+                yb = jax.device_put(jnp.asarray(yb), shard)
+                mb = jax.device_put(jnp.asarray(mask), shard)
+                timer.start()
+                state, loss, c, n = step_fn(state, xb, yb, mb)
+                loss_f = float(loss)
+                timer.stop()
+                bs = float(np.sum(mask))
+                running_loss += loss_f * bs
+                correct += float(c)
+                total += float(n)
+                seen += int(bs)
+            epoch_loss = running_loss / max(seen, 1)
+            epoch_acc = correct / max(total, 1)
+            run.epoch_losses.append(epoch_loss)
+            run.epoch_accs.append(epoch_acc)
+            if log:
+                print_epoch_line(epoch, t.epochs, epoch_loss, epoch_acc)
+            if t.early_stop and epoch_loss < t.early_stop:
+                break
+
+        run.training_duration = time.time() - start
+        if log:
+            print_training_duration(run.training_duration)
+            counts = count_parameters(state.params, self.cfg.model.finetune)
+            run.trainable_params = counts["Trainable parameters"]
+            run.non_trainable_params = counts["Non-trainable parameters"]
+            run.total_params = counts["Total parameters"]
+            print_param_counts(run.trainable_params, run.non_trainable_params)
+        return state, run
+
+    # ------------------------------------------------------------------
     def evaluate(
         self,
         state: TrainState,
