@@ -24,6 +24,18 @@ def test_efficientnet_b0_shapes():
     assert module.apply(variables, x).shape == (1, 1280)
 
 
+def test_inception_v3_shapes_and_param_count():
+    module, dim = build_backbone("inception_v3")
+    assert dim == 2048
+    x = jnp.ones((1, 96, 96, 3))
+    variables = module.init(jax.random.PRNGKey(0), x)
+    assert module.apply(variables, x).shape == (1, 2048)
+    n = sum(int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(variables["params"]))
+    # torchvision inception_v3 feature stack (no fc, no aux) ~21.79M params
+    assert 21_000_000 < n < 22_500_000
+
+
 def test_adapt_dsl_wiring():
     cfg = ModelConfig(
         num_classes=4, cnn_backbone="resnet18", rnn_type="lstm",

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from vct.core.registry import Registry
 from vct.models.backbones.densenet import densenet121
 from vct.models.backbones.efficientnet import efficientnet_b0
+from vct.models.backbones.inception import inception_v3
 from vct.models.backbones.mobilenet import mobilenet_v2
 from vct.models.backbones.resnet import (
     resnet18,
@@ -30,6 +31,7 @@ for _name, _factory in [
     ("vgg16", vgg16),
     ("alexnet", alexnet),
     ("efficientnet_b0", efficientnet_b0),
+    ("inception_v3", inception_v3),
 ]:
     BACKBONES.register(_name, _factory)
 
