@@ -150,6 +150,9 @@ class TrainConfig:
     seed: int = 42
     model_path: str = "/tmp/vct_model"
     save_model: bool = True
+    # Warm-start: checkpoint directory whose params initialize training
+    # (config must build a compatible model).
+    init_from: str = ""
     log_every: int = 0  # steps; 0 = per-epoch only
     checkpoint_keep: int = 3
     # Observability: jax.profiler trace directory (first profiled epoch) and

@@ -123,6 +123,53 @@ def post_results(results: List[dict], backend_url: str) -> None:
             print(f"Error sending result to backend for {video_name}: {e}")
 
 
+def _load_with_device_sampling(
+    videos_dir: str, sampling: str, seq_len: int, img_h: int, img_w: int
+):
+    """Decode ALL frames per clip on the host (uint8, no per-frame python
+    scoring), then run the sampling scores + top-k selection + normalization
+    on-device (``vct.data.preprocess.device_sample_clips``). Clips batch by
+    their decoded length so each length compiles once."""
+    import os
+
+    import jax.numpy as jnp
+
+    from vct.data.preprocess import device_sample_clips, preprocess_clips
+    from vct.data.video import decode_video
+
+    method = {"uniform": "sad", "ssim": "ssim", "sad": "sad"}.get(sampling, "flow")
+    names, clips = [], []
+    for fname in sorted(os.listdir(videos_dir)):
+        if not fname.lower().endswith((".mp4", ".avi", ".mov", ".mkv", ".webm")):
+            continue
+        try:
+            frames = decode_video(os.path.join(videos_dir, fname), img_h, img_w)
+        except Exception as e:
+            print(f"Error processing {fname}: {e}")
+            continue
+        if not frames:
+            continue
+        raw = np.stack(frames)[None]  # (1, L, H, W, 3) uint8
+        if raw.shape[1] <= seq_len:
+            from vct.data.samplers import duplicate_frames
+
+            padded = np.stack(duplicate_frames(list(raw[0]), seq_len))[None]
+            clip = np.asarray(preprocess_clips(jnp.asarray(padded)))
+        else:
+            clip = np.asarray(
+                device_sample_clips(jnp.asarray(raw), seq_len, method=method)
+            )
+        clips.append(clip[0])
+        names.append(fname)
+    x = (
+        np.stack(clips).astype(np.float32)
+        if clips
+        else np.zeros((0, seq_len, img_h, img_w, 3), np.float32)
+    )
+    print(f"Final data shape: {x.shape}")
+    return x, names
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Batch video classification")
     parser.add_argument("--model", required=True, help="checkpoint directory")
@@ -132,6 +179,11 @@ def main(argv=None) -> int:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--post", action="store_true", help="POST results to backend")
     parser.add_argument("--backend_url", default=None)
+    parser.add_argument(
+        "--device_sampling", action="store_true",
+        help="run content-aware frame selection on the TPU (decode all "
+             "frames on host, score + top-k select on device)",
+    )
     args = parser.parse_args(argv)
 
     from vct.data.ingest import load_dataset_inference
@@ -139,13 +191,18 @@ def main(argv=None) -> int:
     model, variables, class_names, cfg = load_model(args.model)
     sampling = args.sampling or cfg.data.sampling_method
     seq_len = args.sequence_length or cfg.data.sequence_length
-    clips, names = load_dataset_inference(
-        args.videos,
-        sampling_method=sampling,
-        sequence_length=seq_len,
-        img_height=cfg.data.img_height,
-        img_width=cfg.data.img_width,
-    )
+    if args.device_sampling:
+        clips, names = _load_with_device_sampling(
+            args.videos, sampling, seq_len, cfg.data.img_height, cfg.data.img_width
+        )
+    else:
+        clips, names = load_dataset_inference(
+            args.videos,
+            sampling_method=sampling,
+            sequence_length=seq_len,
+            img_height=cfg.data.img_height,
+            img_width=cfg.data.img_width,
+        )
     if len(names) == 0:
         print("No videos found.")
         return 1

@@ -177,6 +177,23 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_x: np.ndarray) -> TrainState:
         variables = self.model.init(rng, jnp.asarray(sample_x[:1]))
+        if self.cfg.train.init_from:
+            # Warm-start from a saved checkpoint (shapes must match).
+            from vct.train.checkpoint import load_checkpoint
+
+            loaded, _, _, _ = load_checkpoint(self.cfg.train.init_from)
+            jax.tree_util.tree_map(
+                lambda a, b: None
+                if a.shape == b.shape
+                else (_ for _ in ()).throw(
+                    ValueError(f"init_from shape mismatch: {a.shape} vs {b.shape}")
+                ),
+                variables["params"],
+                loaded["params"],
+            )
+            variables = {
+                k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in loaded.items()
+            }
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
         opt_state = self._tx.init(params)
