@@ -42,20 +42,41 @@ def main() -> int:
 
     batch = int(os.environ.get("VCT_BENCH_BATCH", "32"))
     iters = int(os.environ.get("VCT_BENCH_ITERS", "20"))
-    T, H, W = 40, 80, 80
+    mode = os.environ.get("VCT_BENCH_MODEL", "lstm")
 
-    cfg = Config().replace(**{
-        "model.cnn_backbone": "resnet50",
-        "model.rnn_type": "lstm",
-        "model.rnn_input_size": "512",
-        "model.rnn_layer": "4",
-        "model.hidden_size": "56",
-        "model.rnn_out": "all",
-        "model.compute_dtype": "bfloat16",
+    if mode == "mamba":
+        # The deployed production config (worker.py:24 filename: mamba,
+        # seq60, resnet50, rnn_input 8, 3 layers, 80x80), Pallas scan.
+        T, H, W = 60, 80, 80
+        metric = "tikharm_prod_mamba_infer_clips_per_sec_per_chip"
+        baseline = 66.0  # BASELINE.md mamba-derived clips/s
+        overrides = {
+            "model.cnn_backbone": "resnet50",
+            "model.rnn_type": "mamba",
+            "model.rnn_input_size": "8",
+            "model.rnn_layer": "3",
+            "model.scan_impl": "pallas",
+            "model.compute_dtype": "bfloat16",
+        }
+    else:
+        T, H, W = 40, 80, 80
+        metric = "ucf50_lrcn_infer_clips_per_sec_per_chip"
+        baseline = BASELINE_CLIPS_PER_SEC
+        overrides = {
+            "model.cnn_backbone": "resnet50",
+            "model.rnn_type": "lstm",
+            "model.rnn_input_size": "512",
+            "model.rnn_layer": "4",
+            "model.hidden_size": "56",
+            "model.rnn_out": "all",
+            "model.compute_dtype": "bfloat16",
+        }
+    overrides.update({
         "data.sequence_length": str(T),
         "data.img_height": str(H),
         "data.img_width": str(W),
     })
+    cfg = Config().replace(**overrides)
     model = build_model(cfg.model, T)
 
     rng = np.random.RandomState(0)
@@ -89,10 +110,10 @@ def main() -> int:
     clips_per_sec = batch * iters / elapsed
 
     print(json.dumps({
-        "metric": "ucf50_lrcn_infer_clips_per_sec_per_chip",
+        "metric": metric,
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
-        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+        "vs_baseline": round(clips_per_sec / baseline, 3),
     }))
     return 0
 

@@ -84,6 +84,41 @@ def test_warm_start_init_from(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_remat_backbone_identical_loss():
+    """finetune + remat_backbone must change memory, not math."""
+    from vct.core.config import Config
+    from vct.data.synthetic import generate_dummy_data
+    from vct.train.engine import Trainer
+
+    base = {
+        "model.cnn_backbone": "resnet18", "model.rnn_type": "lstm",
+        "model.rnn_input_size": "8", "model.rnn_layer": "1",
+        "model.finetune": "true",
+        "data.sequence_length": "4", "data.img_height": "32",
+        "data.img_width": "32", "train.batch_size": "8",
+        "train.epochs": "1", "train.save_model": "false",
+    }
+    x, y, names = generate_dummy_data(8, 4, 32, 32, 4)
+    losses = {}
+    for remat in ("false", "true"):
+        cfg = Config().replace(**{**base, "model.remat_backbone": remat})
+        tr = Trainer(cfg, names)
+        state = tr.init_state(jax.random.PRNGKey(0), x)
+        _, run = tr.fit(state, x, y, log=False)
+        losses[remat] = run.epoch_losses[0]
+    assert losses["false"] == pytest.approx(losses["true"], abs=1e-5)
+
+
+def test_process_shard_partitions():
+    from vct.parallel.multihost import process_shard
+
+    parts = [process_shard(11, i, 4).tolist() for i in range(4)]
+    flat = sum(parts, [])
+    assert sorted(flat) == list(range(11))
+    sizes = [len(p) for p in parts]
+    assert max(sizes) - min(sizes) <= 1
+
+
 def test_device_sampling_loader(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from vct.serve.deployment import _load_with_device_sampling

@@ -123,6 +123,10 @@ class ModelConfig:
     vm_temporal_mode: str = "mean"  # mean | max | last | all
     # Compute dtype for the jitted forward path ("bfloat16" | "float32").
     compute_dtype: str = "float32"
+    # Rematerialize the backbone in the backward pass (jax.checkpoint):
+    # trades recompute FLOPs for the conv-stack activation memory. Only
+    # matters when finetune=True (frozen backbones never backprop).
+    remat_backbone: bool = False
     # Which scan implementation the SSM/RNN layers use:
     #   "associative" (lax.associative_scan), "scan" (lax.scan), "pallas"
     scan_impl: str = "associative"

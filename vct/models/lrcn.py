@@ -56,6 +56,7 @@ class LRCN(nn.Module):
     dropout: float = 0.25
     adapt_mode: str = ""  # "" -> canonical hardcoded adapter (models.py:147-153)
     finetune: bool = False  # reference always freezes the backbone
+    remat_backbone: bool = False  # jax.checkpoint the conv stack (finetune)
     scan_impl: str = "associative"
     dtype: Any = jnp.float32
 
@@ -64,9 +65,20 @@ class LRCN(nn.Module):
         b, t = x.shape[0], x.shape[1]
         frames = x.reshape((b * t,) + x.shape[2:])
 
-        backbone, _feat_dim = build_backbone(
-            self.cnn_backbone, dtype=self.dtype, module_name="cnn_backbone"
-        )
+        if self.remat_backbone and self.finetune:
+            from vct.models.backbones import BACKBONES
+
+            proto = BACKBONES.get(self.cnn_backbone)(dtype=self.dtype)
+            fields = {
+                f: getattr(proto, f)
+                for f in proto.__dataclass_fields__
+                if f not in ("parent", "name")
+            }
+            backbone = nn.remat(type(proto))(**fields, name="cnn_backbone")
+        else:
+            backbone, _ = build_backbone(
+                self.cnn_backbone, dtype=self.dtype, module_name="cnn_backbone"
+            )
         feats = backbone(frames)
         if not self.finetune:
             feats = jax.lax.stop_gradient(feats)
@@ -140,6 +152,7 @@ def build_lrcn(cfg: ModelConfig, sequence_length: int) -> LRCN:
         dropout=cfg.dropout,
         adapt_mode=cfg.adapt if cfg.use_adapt_dsl else "",
         finetune=cfg.finetune,
+        remat_backbone=cfg.remat_backbone,
         scan_impl=cfg.scan_impl,
         dtype=dtype,
     )

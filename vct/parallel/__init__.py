@@ -5,3 +5,5 @@ from vct.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from vct.parallel.multihost import initialize, is_primary, process_shard  # noqa: F401
+from vct.parallel.shard import shard_params, shard_state_like_params  # noqa: F401
