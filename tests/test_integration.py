@@ -119,6 +119,57 @@ def test_process_shard_partitions():
     assert max(sizes) - min(sizes) <= 1
 
 
+def test_epoch_resume_after_crash(tmp_path):
+    """Train 1 of 3 epochs, 'crash', resume: continues at epoch 2 with the
+    optimizer state intact and matches an uninterrupted 3-epoch run."""
+    from vct.core.config import Config
+    from vct.data.synthetic import generate_dummy_data
+    from vct.train.engine import Trainer
+
+    base = {
+        "model.cnn_backbone": "resnet18", "model.rnn_type": "lstm",
+        "model.rnn_input_size": "8", "model.rnn_layer": "1",
+        "data.sequence_length": "4", "data.img_height": "32",
+        "data.img_width": "32", "train.batch_size": "8",
+        "train.save_model": "false", "train.resume": "true",
+        "train.model_path": str(tmp_path / "resume"),
+        "mesh.donate": "false",
+    }
+    x, y, names = generate_dummy_data(16, 4, 32, 32, 4)
+
+    # uninterrupted 3-epoch reference run (no resume side effects)
+    cfg_ref = Config().replace(**{**base, "train.epochs": "3",
+                                  "train.resume": "false"})
+    tr_ref = Trainer(cfg_ref, names)
+    s_ref = tr_ref.init_state(jax.random.PRNGKey(0), x)
+    _, run_ref = tr_ref.fit(s_ref, x, y, log=False)
+
+    # epoch 1, then crash
+    cfg1 = Config().replace(**{**base, "train.epochs": "1"})
+    tr1 = Trainer(cfg1, names)
+    s1 = tr1.init_state(jax.random.PRNGKey(0), x)
+    _, run1 = tr1.fit(s1, x, y, log=False)
+
+    # fresh process: resume to 3 epochs
+    cfg2 = Config().replace(**{**base, "train.epochs": "3"})
+    tr2 = Trainer(cfg2, names)
+    s2 = tr2.init_state(jax.random.PRNGKey(0), x)
+    _, run2 = tr2.fit(s2, x, y, log=False)
+    assert len(run2.epoch_losses) == 2  # epochs 2..3 only
+    combined = run1.epoch_losses + run2.epoch_losses
+    np.testing.assert_allclose(combined, run_ref.epoch_losses, rtol=1e-4)
+
+
+def test_dryrun_multichip_contract():
+    """The driver's multichip dry run compiles + executes on this mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+
+
 def test_device_sampling_loader(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from vct.serve.deployment import _load_with_device_sampling

@@ -157,6 +157,12 @@ class TrainConfig:
     # Warm-start: checkpoint directory whose params initialize training
     # (config must build a compatible model).
     init_from: str = ""
+    # Crash-tolerant training: save the full train state (params + optimizer
+    # + epoch) every epoch under model_path and auto-resume from it. The
+    # reference has this only for captioning
+    # (s2vt/main_configurable.py:337-357) and sweeps; here the classification
+    # trainer gets it too.
+    resume: bool = False
     log_every: int = 0  # steps; 0 = per-epoch only
     checkpoint_keep: int = 3
     # Observability: jax.profiler trace directory (first profiled epoch) and

@@ -24,7 +24,7 @@ import numpy as np
 
 from vct.core.config import Config
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "save_train_state", "load_train_state"]
 
 _MANIFEST = "manifest.json"
 _PARAMS = "params"
@@ -64,6 +64,68 @@ def save_checkpoint(
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
     return path
+
+
+def save_train_state(path: str, state, cfg: Config, class_names: List[str],
+                     epoch: int) -> str:
+    """Save the FULL train state (params + extra collections + optimizer
+    moments + rng + step) for crash-tolerant epoch resume."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    tree = {
+        "params": jax.device_get(state.params),
+        "extra_vars": jax.device_get(state.extra_vars),
+        "opt_state": jax.device_get(state.opt_state),
+        "rng": jax.device_get(state.rng),
+        "step": jax.device_get(state.step),
+    }
+    state_path = os.path.join(path, "train_state")
+    if os.path.exists(state_path):
+        import shutil
+
+        shutil.rmtree(state_path)
+    ckpt = _checkpointer()
+    ckpt.save(state_path, tree)
+    ckpt.wait_until_finished()
+    with open(os.path.join(path, "train_manifest.json"), "w") as f:
+        json.dump(
+            {"epoch": epoch, "config": cfg.to_dict(), "class_names": class_names},
+            f,
+        )
+    return path
+
+
+def load_train_state(path: str, state) -> Tuple[Any, int]:
+    """Restore a full train state into the (freshly initialized) ``state``
+    template; returns (state, completed_epochs). (0 if no checkpoint.)"""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    manifest_path = os.path.join(path, "train_manifest.json")
+    if not os.path.exists(manifest_path):
+        return state, 0
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    target = {
+        "params": jax.device_get(state.params),
+        "extra_vars": jax.device_get(state.extra_vars),
+        "opt_state": jax.device_get(state.opt_state),
+        "rng": jax.device_get(state.rng),
+        "step": jax.device_get(state.step),
+    }
+    ckpt = _checkpointer()
+    tree = ckpt.restore(os.path.join(path, "train_state"), target)
+    as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    state = state.replace(
+        params=as_jnp(tree["params"]),
+        extra_vars=as_jnp(tree["extra_vars"]),
+        opt_state=as_jnp(tree["opt_state"]),
+        rng=jnp.asarray(tree["rng"]),
+        step=jnp.asarray(tree["step"]),
+    )
+    return state, int(manifest["epoch"])
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Config, List[str], dict]:

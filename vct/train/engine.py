@@ -301,7 +301,18 @@ class Trainer:
         start = time.time()
         stop = False
         best_loss, bad_epochs = float("inf"), 0
-        for epoch in range(t.epochs):
+        start_epoch = 0
+        if t.resume:
+            from vct.train.checkpoint import load_train_state, save_train_state
+
+            state, start_epoch = load_train_state(t.model_path, state)
+            if start_epoch:
+                print(f"Resuming training from epoch {start_epoch}")
+                # Fast-forward the shuffle stream so epoch k sees the same
+                # permutation it would in an uninterrupted run.
+                for _ in range(start_epoch):
+                    rng.shuffle(np.arange(len(x)))
+        for epoch in range(start_epoch, t.epochs):
             running_loss, correct, total = 0.0, 0.0, 0.0
             trace_ctx = device_trace(t.profile_dir if epoch == 0 else None)
             with trace_ctx:
@@ -342,6 +353,10 @@ class Trainer:
                     bad_epochs += 1
                     if bad_epochs >= t.early_stop_patience:
                         stop = True
+            if t.resume:
+                save_train_state(
+                    t.model_path, state, self.cfg, self.class_names, epoch + 1
+                )
             if stop:
                 break
 
