@@ -21,6 +21,7 @@
 #include <cstdio>
 #include <cstring>
 #include <mutex>
+#include <map>
 #include <queue>
 #include <random>
 #include <thread>
@@ -64,6 +65,7 @@ struct Slot {
   std::vector<uint8_t> clips;
   std::vector<uint8_t> labels;
   int64_t count = 0;
+  int64_t batch_index = -1;
 };
 
 struct Loader {
@@ -88,7 +90,7 @@ struct Loader {
   std::mutex mu;
   std::condition_variable ready_cv;
   std::condition_variable free_cv;
-  std::queue<Slot*> ready;
+  std::map<int64_t, Slot*> ready;  // keyed by batch index: ordered delivery
   std::queue<Slot*> free_slots;
   std::vector<Slot> slots;
   std::atomic<bool> stop{false};
@@ -99,8 +101,9 @@ struct Loader {
     const size_t cb = clip_bytes(hd);
     const size_t lb = label_bytes(hd);
     while (!stop.load()) {
-      int64_t b = next_batch.fetch_add(1);
-      if (b >= num_batches) return;
+      // Acquire a slot BEFORE claiming a batch index: every claimed index
+      // then owns a slot, so the lowest unconsumed batch can always complete
+      // and ordered delivery cannot deadlock on slot starvation.
       Slot* slot = nullptr;
       {
         std::unique_lock<std::mutex> lk(mu);
@@ -108,6 +111,13 @@ struct Loader {
         if (stop.load()) return;
         slot = free_slots.front();
         free_slots.pop();
+      }
+      int64_t b = next_batch.fetch_add(1);
+      if (b >= num_batches) {
+        std::lock_guard<std::mutex> lk(mu);
+        free_slots.push(slot);
+        free_cv.notify_one();
+        return;
       }
       int64_t start = b * batch;
       int64_t count = std::min(batch, (int64_t)hd.num_clips - start);
@@ -117,12 +127,13 @@ struct Loader {
         std::memcpy(slot->clips.data() + i * cb, clips_base + (size_t)idx * cb, cb);
         std::memcpy(slot->labels.data() + i * lb, labels_base + (size_t)idx * lb, lb);
       }
+      slot->batch_index = b;
       {
         std::lock_guard<std::mutex> lk(mu);
-        ready.push(slot);
+        ready[b] = slot;
         produced.fetch_add(1);
       }
-      ready_cv.notify_one();
+      ready_cv.notify_all();
     }
   }
 
@@ -202,22 +213,23 @@ int ccw_close(void* handle) {
   auto* wr = (Writer*)handle;
   std::fclose(wr->data_tmp);
   FILE* out = std::fopen(wr->path.c_str(), "wb");
-  if (!out) {
-    delete wr;
-    return -1;
-  }
-  std::fwrite(&wr->hd, sizeof(Header), 1, out);
-  std::fwrite(wr->labels.data(), 1, wr->labels.size(), out);
   FILE* in = std::fopen(wr->tmp_path.c_str(), "rb");
-  std::vector<uint8_t> buf(1 << 22);
-  size_t n;
-  while ((n = std::fread(buf.data(), 1, buf.size(), in)) > 0)
-    std::fwrite(buf.data(), 1, n, out);
-  std::fclose(in);
-  std::fclose(out);
-  std::remove(wr->tmp_path.c_str());
+  bool ok = out && in;
+  if (ok) ok = std::fwrite(&wr->hd, sizeof(Header), 1, out) == 1;
+  if (ok && !wr->labels.empty())
+    ok = std::fwrite(wr->labels.data(), 1, wr->labels.size(), out) ==
+         wr->labels.size();
+  if (ok) {
+    std::vector<uint8_t> buf(1 << 22);
+    size_t n;
+    while (ok && (n = std::fread(buf.data(), 1, buf.size(), in)) > 0)
+      ok = std::fwrite(buf.data(), 1, n, out) == n;
+  }
+  if (in) std::fclose(in);
+  if (out) ok = (std::fclose(out) == 0) && ok;
+  if (ok) std::remove(wr->tmp_path.c_str());
   delete wr;
-  return 0;
+  return ok ? 0 : -1;
 }
 
 // ---- loader -----------------------------------------------------------
@@ -282,10 +294,15 @@ int64_t ccl_next(void* handle, uint8_t* out_clips, uint8_t* out_labels,
   Slot* slot = nullptr;
   {
     std::unique_lock<std::mutex> lk(ld->mu);
-    ld->ready_cv.wait(lk, [&] { return ld->stop.load() || !ld->ready.empty(); });
-    if (ld->ready.empty()) return -1;
-    slot = ld->ready.front();
-    ld->ready.pop();
+    // Deliver batches strictly in index order regardless of worker
+    // completion order (reproducible epochs for any worker count).
+    ld->ready_cv.wait(lk, [&] {
+      return ld->stop.load() || ld->ready.count(consumed_so_far) > 0;
+    });
+    auto it = ld->ready.find(consumed_so_far);
+    if (it == ld->ready.end()) return -1;
+    slot = it->second;
+    ld->ready.erase(it);
   }
   size_t cb = clip_bytes(ld->hd), lb = label_bytes(ld->hd);
   std::memcpy(out_clips, slot->clips.data(), (size_t)slot->count * cb);
@@ -304,10 +321,8 @@ void ccl_next_epoch(void* handle) {
   auto* ld = (Loader*)handle;
   ld->join_workers();
   // drain any leftover ready slots back to free
-  while (!ld->ready.empty()) {
-    ld->free_slots.push(ld->ready.front());
-    ld->ready.pop();
-  }
+  for (auto& kv : ld->ready) ld->free_slots.push(kv.second);
+  ld->ready.clear();
   ld->epoch++;
   ld->start_epoch();
 }

@@ -157,13 +157,18 @@ class ClipCacheLoader:
         clips_p = clips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         labels_p = labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         consumed = 0
-        while True:
-            n = self._lib.ccl_next(self._handle, clips_p, labels_p, consumed)
-            if n <= 0:
-                break
-            consumed += 1
-            yield clips[:n].copy(), labels[:n].copy()
-        self._lib.ccl_next_epoch(self._handle)
+        try:
+            while True:
+                n = self._lib.ccl_next(self._handle, clips_p, labels_p, consumed)
+                if n <= 0:
+                    break
+                consumed += 1
+                yield clips[:n].copy(), labels[:n].copy()
+        finally:
+            # Always reset the native side — abandoning the generator
+            # mid-epoch (exception, break) must not wedge the next epoch.
+            if self._handle:
+                self._lib.ccl_next_epoch(self._handle)
 
     def close(self) -> None:
         if self._handle:

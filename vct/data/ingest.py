@@ -46,8 +46,9 @@ def _class_videos(class_dir: str, cap: int) -> List[str]:
     return [os.path.join(class_dir, f) for f in files[:cap]]
 
 
-def build_dataset_cache(cfg: Config, path: Optional[str] = None) -> Tuple[str, str, str]:
-    """Decode the dataset tree into the HDF5 cache; returns file paths."""
+def build_dataset_cache(cfg: Config, path: Optional[str] = None) -> Tuple[str, str]:
+    """Decode the dataset tree into the HDF5 cache; returns
+    (data_file, classes_file) paths."""
     import h5py
 
     d = cfg.data
@@ -111,7 +112,7 @@ def build_dataset_cache(cfg: Config, path: Optional[str] = None) -> Tuple[str, s
 
     np.save(d.classes_file, np.asarray(classes))
     print(f"Dataset processing complete. Total videos: {total}")
-    return d.data_file, d.data_file, d.classes_file
+    return d.data_file, d.classes_file
 
 
 def build_clipcache(cfg: Config, path: Optional[str] = None) -> str:

@@ -106,16 +106,41 @@ class ParallelDecoder:
             (p, height, width, sequence_length, sampling_method, normalize)
             for p in paths
         ]
-        if self.workers == 1 or len(jobs) <= 1:
-            results = map(_decode_one, jobs)
-        else:
-            pool = ProcessPoolExecutor(max_workers=self.workers)
-            results = pool.map(_decode_one, jobs, chunksize=4)
-        for path, clip, err in results:
+
+        def emit(path, clip, err):
             if clip is None:
                 if on_error is not None:
                     on_error(path, err)
                 else:
                     print(f"Error processing {os.path.basename(path)}: {err}")
-                continue
-            yield path, clip
+                return None
+            return path, clip
+
+        if self.workers == 1 or len(jobs) <= 1:
+            for job in jobs:
+                out = emit(*_decode_one(job))
+                if out is not None:
+                    yield out
+            return
+
+        # Bounded in-flight window: at most workers*4 decoded clips buffered
+        # ahead of the consumer (a decoded float32 clip is MBs; unbounded
+        # submission would balloon RSS on large classes). Results yield in
+        # input order. The pool is always shut down.
+        from collections import deque
+
+        window = self.workers * 4
+        with ProcessPoolExecutor(max_workers=self.workers) as pool:
+            pending = deque()
+            job_iter = iter(jobs)
+            for job in job_iter:
+                pending.append(pool.submit(_decode_one, job))
+                if len(pending) >= window:
+                    break
+            while pending:
+                out = emit(*pending.popleft().result())
+                nxt = next(job_iter, None)
+                if nxt is not None:
+                    pending.append(pool.submit(_decode_one, nxt))
+                if out is not None:
+                    yield out

@@ -49,19 +49,41 @@ def load_model(model_dir: str):
     return model, variables, class_names, cfg
 
 
-def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32):
-    """Jitted batched softmax probabilities for (N, T, H, W, 3) clips."""
+_infer_cache = {}
+
+
+def _jitted_infer(model):
+    """One cached jit per model instance — the worker must NOT re-trace per
+    message (linen modules hash by their fields)."""
     import jax
+
+    fn = _infer_cache.get(model)
+    if fn is None:
+
+        @jax.jit
+        def infer(variables, x):
+            return jax.nn.softmax(model.apply(variables, x), axis=-1)
+
+        _infer_cache[model] = fn = infer
+    return fn
+
+
+def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32):
+    """Jitted batched softmax probabilities for (N, T, H, W, 3) clips.
+
+    The final partial chunk zero-pads up to batch_size so every call
+    compiles at most one shape."""
     import jax.numpy as jnp
 
-    @jax.jit
-    def infer(variables, x):
-        return jax.nn.softmax(model.apply(variables, x), axis=-1)
-
+    infer = _jitted_infer(model)
     probs = []
     for start in range(0, len(clips), batch_size):
-        chunk = jnp.asarray(clips[start : start + batch_size])
-        probs.append(np.asarray(infer(variables, chunk)))
+        chunk = clips[start : start + batch_size]
+        n = len(chunk)
+        if n < batch_size and start > 0:
+            pad = np.zeros((batch_size - n,) + chunk.shape[1:], chunk.dtype)
+            chunk = np.concatenate([chunk, pad])
+        probs.append(np.asarray(infer(variables, jnp.asarray(chunk)))[:n])
     return np.concatenate(probs) if probs else np.zeros((0,))
 
 

@@ -192,7 +192,7 @@ def save_tiktok(
                 fn = os.path.join(save_dir, f"{stem}_slide_{i}.jpeg")
                 content = sess.get(
                     slide_url, allow_redirects=True, headers=dl_headers,
-                    cookies=cookies or {},
+                    cookies=cookies or {}, timeout=60,
                 ).content
                 with open(fn, "wb") as f:
                     f.write(content)
@@ -207,7 +207,7 @@ def save_tiktok(
             fn = os.path.join(save_dir, f"{stem}.mp4")
             content = sess.get(
                 dl_url, allow_redirects=True, headers=dl_headers,
-                cookies=cookies or {},
+                cookies=cookies or {}, timeout=60,
             ).content
             with open(fn, "wb") as f:
                 f.write(content)

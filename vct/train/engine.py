@@ -101,14 +101,28 @@ def _param_label_tree(params, finetune: bool, freeze_until: str = ""):
     return labels
 
 
-def count_parameters(params, finetune: bool = False) -> Dict[str, int]:
+def count_parameters(
+    params, finetune: bool = False, freeze_until: str = ""
+) -> Dict[str, int]:
     """Trainable / non-trainable / total (train_eval.py:121-129). Matches
-    torch semantics: BN running stats are buffers and not counted."""
+    torch semantics: BN running stats are buffers and not counted. Respects
+    partial freezing (finetune=True + freeze_until)."""
 
     def _size(tree):
         return int(sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(tree)))
 
-    frozen = 0 if finetune else _size(params.get(FROZEN_KEY, {}))
+    backbone = params.get(FROZEN_KEY, {})
+    if not finetune:
+        frozen = _size(backbone)
+    elif freeze_until:
+        prefixes = [p.strip() for p in freeze_until.split(",") if p.strip()]
+        frozen = sum(
+            _size(sub)
+            for key, sub in backbone.items()
+            if any(key == p or key.startswith(p) for p in prefixes)
+        )
+    else:
+        frozen = 0
     total = _size(params)
     return {
         "Trainable parameters": total - frozen,
@@ -363,7 +377,9 @@ class Trainer:
         run.training_duration = time.time() - start
         if log:
             print_training_duration(run.training_duration)
-            counts = count_parameters(state.params, self.cfg.model.finetune)
+            counts = count_parameters(
+                state.params, self.cfg.model.finetune, self.cfg.model.freeze_until
+            )
             run.trainable_params = counts["Trainable parameters"]
             run.non_trainable_params = counts["Non-trainable parameters"]
             run.total_params = counts["Total parameters"]
@@ -430,7 +446,9 @@ class Trainer:
         run.training_duration = time.time() - start
         if log:
             print_training_duration(run.training_duration)
-            counts = count_parameters(state.params, self.cfg.model.finetune)
+            counts = count_parameters(
+                state.params, self.cfg.model.finetune, self.cfg.model.freeze_until
+            )
             run.trainable_params = counts["Trainable parameters"]
             run.non_trainable_params = counts["Non-trainable parameters"]
             run.total_params = counts["Total parameters"]
