@@ -195,7 +195,12 @@ def _load_with_device_sampling(
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Batch video classification")
     parser.add_argument("--model", required=True, help="checkpoint directory")
-    parser.add_argument("--videos", required=True, help="directory of videos")
+    parser.add_argument("--videos", default=None, help="directory of videos")
+    parser.add_argument(
+        "--frames", default=None,
+        help="directory of extracted frame images for ONE clip "
+             "(lrcn/deployment.py --frames variant)",
+    )
     parser.add_argument("--sampling", default=None, help="override sampling method")
     parser.add_argument("--sequence_length", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=32)
@@ -210,9 +215,21 @@ def main(argv=None) -> int:
 
     from vct.data.ingest import load_dataset_inference
 
+    if not args.videos and not args.frames:
+        parser.error("one of --videos or --frames is required")
     model, variables, class_names, cfg = load_model(args.model)
     sampling = args.sampling or cfg.data.sampling_method
     seq_len = args.sequence_length or cfg.data.sequence_length
+    if args.frames:
+        from vct.data.frames import preprocess_frames_dir
+
+        clip = preprocess_frames_dir(
+            args.frames, seq_len, cfg.data.img_height, cfg.data.img_width
+        )
+        probs = classify_videos(model, variables, clip, batch_size=1)
+        predicted = class_names[int(np.argmax(probs[0]))]
+        print(f"Predicted class: {predicted}")
+        return 0
     if args.device_sampling:
         clips, names = _load_with_device_sampling(
             args.videos, sampling, seq_len, cfg.data.img_height, cfg.data.img_width
