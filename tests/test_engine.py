@@ -203,3 +203,31 @@ def test_dp_tp_mesh_training_step():
     state, loss, c, n = step(state, sxb, syb, smb)
     assert np.isfinite(float(loss))
     np.testing.assert_allclose(float(loss), float(loss1), rtol=2e-4, atol=2e-4)
+
+
+def test_auc_matches_sklearn():
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    from vct.train.metrics import macro_auc
+
+    rng = np.random.RandomState(0)
+    C = 4
+    labels = rng.randint(0, C, 60)
+    logits = rng.randn(60, C)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    ours = macro_auc(probs, labels, C)
+    want = sklearn_metrics.roc_auc_score(labels, probs, multi_class="ovr")
+    assert ours == pytest.approx(want, abs=1e-9)
+
+
+def test_evaluate_with_auc(capsys):
+    from vct.data.synthetic import generate_dummy_data
+
+    cfg = _tiny_cfg(**{"train.epochs": "1"})
+    x, y, names = generate_dummy_data(16, 4, 32, 32, 4)
+    tr = Trainer(cfg, names)
+    state = tr.init_state(jax.random.PRNGKey(0), x)
+    state, run = tr.fit(state, x, y, log=False)
+    m = tr.evaluate(state, x, y, run=run, compute_auc=True)
+    out = capsys.readouterr().out
+    assert "AUC:" in out
+    assert 0.0 <= m.per_class["__auc__"]["auc"] <= 1.0

@@ -463,6 +463,7 @@ class Trainer:
         y: np.ndarray,
         log: bool = True,
         run: Optional[RunMetrics] = None,
+        compute_auc: bool = False,
     ) -> RunMetrics:
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
@@ -470,20 +471,48 @@ class Trainer:
         shard = batch_sharding(self.mesh)
         bs = self.cfg.train.batch_size
 
+        auc_probs, auc_labels = [], []
+        eval_probs = None
+        if compute_auc and self.classif_mode == "multiclass":
+            model = self.model
+            eval_probs = jax.jit(
+                lambda p, e, xb: jax.nn.softmax(
+                    model.apply({"params": p, **e}, xb), axis=-1
+                )
+            )
+
         start = time.time()
         if self.classif_mode == "multiclass":
             confusion = np.zeros((self.num_classes, self.num_classes))
             for xb, yb, mask in batches(x, y, bs):
                 xb, yb, mask = self._pad_batch(xb, yb, mask)
+                xb_d = jax.device_put(jnp.asarray(xb), shard)
                 out = eval_fn(
                     state.params,
                     state.extra_vars,
-                    jax.device_put(jnp.asarray(xb), shard),
+                    xb_d,
                     jax.device_put(jnp.asarray(yb), shard),
                     jax.device_put(jnp.asarray(mask), shard),
                 )
                 confusion += np.asarray(out)
+                if eval_probs is not None:
+                    n_valid = int(mask.sum())
+                    probs = np.asarray(
+                        eval_probs(state.params, state.extra_vars, xb_d)
+                    )[:n_valid]
+                    auc_probs.append(probs)
+                    auc_labels.append(yb[:n_valid])
             metrics = multiclass_metrics(confusion, self.class_names)
+            if auc_probs:
+                from vct.train.metrics import macro_auc
+
+                auc = macro_auc(
+                    np.concatenate(auc_probs), np.concatenate(auc_labels),
+                    self.num_classes,
+                )
+                metrics.per_class["__auc__"] = {"auc": auc}
+                if log:
+                    print(f"AUC: {auc:.4f}")
         else:
             counts = np.zeros((self.num_classes, 4))
             exact = 0.0

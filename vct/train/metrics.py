@@ -23,7 +23,33 @@ __all__ = [
     "multilabel_counts",
     "multiclass_metrics",
     "multilabel_metrics",
+    "macro_auc",
 ]
+
+
+def macro_auc(probs: np.ndarray, labels: np.ndarray, num_classes: int) -> float:
+    """Macro one-vs-rest ROC AUC (the videomamba eval's extra metric,
+    ``lrcn/videomamba.py:493-564``). Rank-based (Mann-Whitney), no sklearn
+    dependency; classes absent from ``labels`` are skipped."""
+    probs = np.asarray(probs, np.float64)
+    labels = np.asarray(labels)
+    aucs = []
+    for c in range(num_classes):
+        pos = probs[labels == c, c]
+        neg = probs[labels != c, c]
+        if len(pos) == 0 or len(neg) == 0:
+            continue
+        try:
+            from scipy.stats import rankdata
+
+            ranks = rankdata(np.concatenate([pos, neg]))  # tie-averaged
+        except ImportError:
+            ranks = np.argsort(np.argsort(np.concatenate([pos, neg]))) + 1.0
+        auc = (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2) / (
+            len(pos) * len(neg)
+        )
+        aucs.append(auc)
+    return float(np.mean(aucs)) if aucs else 0.0
 
 
 def multiclass_confusion(logits, labels, num_classes: int, mask=None):
