@@ -89,8 +89,20 @@ def test_backbone_feature_dims():
 
 def test_all_backbones_registered():
     for name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
-                 "mobilenet_v2", "densenet121", "vgg16", "alexnet"):
+                 "mobilenet_v2", "densenet121", "vgg16", "alexnet",
+                 "efficientnet_b0", "inception_v3"):
         assert name in BACKBONES
+
+
+def test_vgg_alexnet_forward_dims():
+    # True output widths (the reference's size probe would claim 4096 for
+    # both — the documented bug we fix; see vgg.py module doc).
+    x = jnp.ones((1, 96, 96, 3))
+    for name, dim in (("vgg16", 25088), ("alexnet", 9216)):
+        module, feature_dim = build_backbone(name)
+        assert feature_dim == dim, name
+        variables = module.init(jax.random.PRNGKey(0), x)
+        assert module.apply(variables, x).shape == (1, dim), name
 
 
 def test_backbone_frozen_no_grad():

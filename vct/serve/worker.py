@@ -58,6 +58,7 @@ class Worker:
             sequence_length=self.cfg.sequence_length,
             img_height=self.model_cfg.data.img_height,
             img_width=self.model_cfg.data.img_width,
+            skip=self._already_classified(),
         )
         if len(names) == 0:
             print("No videos to classify.")
@@ -72,6 +73,33 @@ class Worker:
                 os.remove(path)
             except OSError:
                 pass
+
+    def _already_classified(self):
+        """Video filenames in VIDEO_DIR whose URLs the backend already has
+        labels for (the reference's pre-inference filter,
+        ``loader_data.py:468-478`` — minus its delete-during-scan race:
+        skipped files are left alone; classified files delete post-POST)."""
+        import requests
+
+        from vct.serve.deployment import construct_url
+
+        skip = []
+        try:
+            for fname in os.listdir(self.cfg.video_dir):
+                url = construct_url(fname)
+                if not url:
+                    continue
+                try:
+                    r = requests.get(
+                        self.cfg.backend_checker, params={"url": url}, timeout=5
+                    )
+                    if r.status_code == 200 and "labels" in r.json():
+                        skip.append(fname)
+                except Exception:
+                    continue
+        except FileNotFoundError:
+            pass
+        return skip
 
     def run(self) -> None:
         print(f"worker pulling on :{self.cfg.queue_port}")
