@@ -34,6 +34,10 @@ def pytest_configure(config):
     xla = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in xla:
         env["XLA_FLAGS"] = (xla + " --xla_force_host_platform_device_count=8").strip()
+    # Persistent XLA compile cache: most suite time is CPU compiles of the
+    # same tiny models; repeat runs hit the cache.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vct_jax_test_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     argv = list(sys.orig_argv)
     argv[0] = sys.executable
 

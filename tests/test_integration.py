@@ -188,3 +188,37 @@ def test_device_sampling_loader(tmp_path):
     assert clips.shape == (2, 6, 32, 32, 3)
     assert clips.dtype == np.float32
     assert float(clips.max()) <= 1.0
+
+
+def test_seq_shard_parity():
+    """dp+tp+sp sharded step equals the unsharded loss (4x2 mesh)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+
+    from vct.core.config import Config
+    from vct.data.synthetic import generate_dummy_data
+    from vct.parallel.mesh import make_mesh, shard_batch
+    from vct.train.engine import Trainer
+
+    base = {
+        "model.cnn_backbone": "resnet18", "model.rnn_type": "mamba",
+        "model.rnn_input_size": "8", "model.rnn_layer": "1",
+        "data.sequence_length": "4", "data.img_height": "32",
+        "data.img_width": "32", "train.batch_size": "8",
+        "mesh.donate": "false",
+    }
+    x, y, names = generate_dummy_data(8, 4, 32, 32, 4)
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    losses = {}
+    for ss in ("false", "true"):
+        cfg = Config().replace(**{**base, "model.seq_shard": ss})
+        tr = Trainer(cfg, names, mesh=mesh)
+        state = tr.init_state(jax.random.PRNGKey(0), x)
+        step = tr._build_train_step()
+        xb, yb, mb = shard_batch(
+            (jnp.asarray(x), jnp.asarray(y), jnp.ones(8, jnp.float32)), mesh
+        )
+        _, loss, _, _ = step(state, xb, yb, mb)
+        losses[ss] = float(loss)
+    assert losses["false"] == pytest.approx(losses["true"], abs=1e-4)

@@ -127,6 +127,9 @@ class ModelConfig:
     # trades recompute FLOPs for the conv-stack activation memory. Only
     # matters when finetune=True (frozen backbones never backprop).
     remat_backbone: bool = False
+    # Sequence parallelism: shard the B*T frame batch over BOTH mesh axes
+    # through the conv stack, resharding to data-only for the temporal scan.
+    seq_shard: bool = False
     # Which scan implementation the SSM/RNN layers use:
     #   "associative" (lax.associative_scan), "scan" (lax.scan), "pallas"
     scan_impl: str = "associative"

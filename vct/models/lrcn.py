@@ -57,6 +57,12 @@ class LRCN(nn.Module):
     adapt_mode: str = ""  # "" -> canonical hardcoded adapter (models.py:147-153)
     finetune: bool = False  # reference always freezes the backbone
     remat_backbone: bool = False  # jax.checkpoint the conv stack (finetune)
+    # Sequence parallelism: frames are independent through the conv stack, so
+    # the B*T frame batch shards over BOTH mesh axes (data AND model) for the
+    # backbone, then reshards to data-only for the temporal scan (XLA inserts
+    # the all-to-alls). Requires calls to run inside a `with mesh:` context —
+    # the Trainer does this.
+    seq_shard: bool = False
     scan_impl: str = "associative"
     dtype: Any = jnp.float32
 
@@ -64,6 +70,23 @@ class LRCN(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         b, t = x.shape[0], x.shape[1]
         frames = x.reshape((b * t,) + x.shape[2:])
+        seq_shard_on = False
+        if self.seq_shard:
+            from vct.parallel.mesh import ambient_mesh
+
+            mesh = ambient_mesh()
+            seq_shard_on = (
+                mesh is not None
+                and {"data", "model"} <= set(mesh.axis_names)
+                and (b * t) % (mesh.shape["data"] * mesh.shape["model"]) == 0
+                and b % mesh.shape["data"] == 0
+            )
+        if seq_shard_on:
+            from jax.sharding import PartitionSpec as P
+
+            frames = jax.lax.with_sharding_constraint(
+                frames, P(("data", "model"), None, None, None)
+            )
 
         if self.remat_backbone and self.finetune:
             from vct.models.backbones import BACKBONES
@@ -83,6 +106,10 @@ class LRCN(nn.Module):
         if not self.finetune:
             feats = jax.lax.stop_gradient(feats)
         feats = feats.reshape(b, t, -1)
+        if seq_shard_on:
+            from jax.sharding import PartitionSpec as P
+
+            feats = jax.lax.with_sharding_constraint(feats, P("data", None, None))
 
         if self.adapt_mode:
             feats = AdaptDSL(
@@ -153,6 +180,7 @@ def build_lrcn(cfg: ModelConfig, sequence_length: int) -> LRCN:
         adapt_mode=cfg.adapt if cfg.use_adapt_dsl else "",
         finetune=cfg.finetune,
         remat_backbone=cfg.remat_backbone,
+        seq_shard=cfg.seq_shard,
         scan_impl=cfg.scan_impl,
         dtype=dtype,
     )

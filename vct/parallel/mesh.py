@@ -15,7 +15,28 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "host_to_device"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "host_to_device",
+    "ambient_mesh",
+]
+
+
+def ambient_mesh() -> Optional[Mesh]:
+    """The mesh entered via ``with mesh:`` (None outside any context).
+
+    Models use this to apply sharding constraints only when an axis actually
+    divides (jax keeps the legacy context mesh in thread resources)."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"

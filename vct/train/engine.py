@@ -190,7 +190,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_x: np.ndarray) -> TrainState:
-        variables = self.model.init(rng, jnp.asarray(sample_x[:1]))
+        with self.mesh:  # seq_shard constraints need axis names at trace
+            variables = self.model.init(rng, jnp.asarray(sample_x[:1]))
         if self.cfg.train.init_from:
             # Warm-start from a saved checkpoint (shapes must match).
             from vct.train.checkpoint import load_checkpoint
@@ -277,7 +278,9 @@ class Trainer:
             )
             return new_state, loss, correct, total
 
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        return self._with_mesh(
+            jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        )
 
     def _build_eval_step(self):
         model = self.model
@@ -290,7 +293,18 @@ class Trainer:
                 return multiclass_confusion(logits, yb, num_classes, mask)
             return multilabel_counts(logits, yb, mask)
 
-        return jax.jit(eval_step)
+        return self._with_mesh(jax.jit(eval_step))
+
+    def _with_mesh(self, fn):
+        """Run a jitted step inside the mesh context so bare-PartitionSpec
+        sharding constraints (model.seq_shard) resolve axis names."""
+        mesh = self.mesh
+
+        def wrapped(*args, **kwargs):
+            with mesh:
+                return fn(*args, **kwargs)
+
+        return wrapped
 
     # ------------------------------------------------------------------
     def fit(
@@ -475,9 +489,11 @@ class Trainer:
         eval_probs = None
         if compute_auc and self.classif_mode == "multiclass":
             model = self.model
-            eval_probs = jax.jit(
-                lambda p, e, xb: jax.nn.softmax(
-                    model.apply({"params": p, **e}, xb), axis=-1
+            eval_probs = self._with_mesh(
+                jax.jit(
+                    lambda p, e, xb: jax.nn.softmax(
+                        model.apply({"params": p, **e}, xb), axis=-1
+                    )
                 )
             )
 
