@@ -227,7 +227,12 @@ int ccw_close(void* handle) {
   }
   if (in) std::fclose(in);
   if (out) ok = (std::fclose(out) == 0) && ok;
-  if (ok) std::remove(wr->tmp_path.c_str());
+  if (ok) {
+    std::remove(wr->tmp_path.c_str());
+  } else {
+    // never leave a truncated cache behind — a later open would mmap short
+    std::remove(wr->path.c_str());
+  }
   delete wr;
   return ok ? 0 : -1;
 }

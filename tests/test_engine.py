@@ -231,3 +231,19 @@ def test_evaluate_with_auc(capsys):
     out = capsys.readouterr().out
     assert "AUC:" in out
     assert 0.0 <= m.per_class["__auc__"]["auc"] <= 1.0
+
+
+def test_auc_tie_handling_matches_sklearn():
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    from vct.train.metrics import macro_auc
+
+    # saturated probs with many ties
+    labels = np.array([0, 0, 1, 1, 1, 0, 1, 0])
+    probs = np.array([
+        [1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 0.0],
+        [0.5, 0.5], [0.5, 0.5], [1.0, 0.0], [0.0, 1.0],
+    ])
+    ours = macro_auc(probs, labels, 2)
+    want = sklearn_metrics.roc_auc_score(labels, probs[:, 1])
+    # macro over 2 complementary binary columns == the binary AUC
+    assert ours == pytest.approx(want, abs=1e-9)

@@ -143,9 +143,16 @@ def test_history_json_and_step_logging(tmp_path, capsys):
     assert hist["config"]["model"]["rnn_type"] == "lstm"
 
 
-def test_count_parameters_partial_freeze_unaffected():
-    # count_parameters reports by the finetune flag only (torch semantics:
-    # requires_grad); partial freeze is an optimizer-level mask.
-    params = {"cnn_backbone": {"w": np.zeros((2, 2))}, "head": {"w": np.zeros(3)}}
+def test_count_parameters_partial_freeze():
+    params = {
+        "cnn_backbone": {"conv1": {"w": np.zeros((2, 2))},
+                         "layer4_0": {"w": np.zeros(5)}},
+        "head": {"w": np.zeros(3)},
+    }
+    # finetune without freeze_until: everything trainable
     counts = count_parameters(params, finetune=True)
-    assert counts["Trainable parameters"] == 7
+    assert counts["Trainable parameters"] == 12
+    # partial freeze subtracts the frozen backbone prefixes
+    counts = count_parameters(params, finetune=True, freeze_until="conv1")
+    assert counts["Non-trainable parameters"] == 4
+    assert counts["Trainable parameters"] == 8

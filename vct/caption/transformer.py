@@ -134,7 +134,7 @@ class TransformerCaptioner(nn.Module):
                 buf,
             )
 
-        buf = jax.lax.fori_loop(0, self.max_len, step, buf)
+        buf = jax.lax.fori_loop(0, self.max_len - 1, step, buf)
         logits = self.decode_logits(enc, buf, deterministic=True)
         return jax.nn.log_softmax(logits, axis=-1)
 

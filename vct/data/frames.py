@@ -39,10 +39,9 @@ def _sample_or_pad(frames: List[np.ndarray], sequence_length: int,
                    sampling_method: str, height: int, width: int):
     if len(frames) >= sequence_length:
         if sampling_method == "uniform":
-            interval = len(frames) // sequence_length
-            frames = [frames[i] for i in range(0, len(frames), interval)][
-                :sequence_length
-            ]
+            from vct.data.samplers import uniform_sampling
+
+            frames = uniform_sampling(frames, sequence_length)
         else:
             # frame-difference energy: keep the top-T most changed, in order
             # (rgb_lrcn.py:151-158 sample_frames/argsort pattern)

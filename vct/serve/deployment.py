@@ -80,7 +80,7 @@ def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32):
     for start in range(0, len(clips), batch_size):
         chunk = clips[start : start + batch_size]
         n = len(chunk)
-        if n < batch_size and start > 0:
+        if n < batch_size:
             pad = np.zeros((batch_size - n,) + chunk.shape[1:], chunk.dtype)
             chunk = np.concatenate([chunk, pad])
         probs.append(np.asarray(infer(variables, jnp.asarray(chunk)))[:n])

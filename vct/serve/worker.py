@@ -10,7 +10,8 @@ the reference, on purpose:
     (``worker.py:114``), a per-request deserialization of the entire network;
   * no delete-while-iterating of video files (the reference's loader deletes
     already-classified videos during the scan, ``loader_data.py:468-478``);
-    processed files are removed only after their result is POSTed.
+    processed files are removed only after their result is POSTed, and
+    leftovers delete only once the backend confirms it holds their labels.
 
 Configuration via env vars keeps the reference's surface
 (``worker.py:24-28``): MODEL_PATH, SAMPLING_METHOD, SEQUENCE_LENGTH,
@@ -77,8 +78,10 @@ class Worker:
     def _already_classified(self):
         """Video filenames in VIDEO_DIR whose URLs the backend already has
         labels for (the reference's pre-inference filter,
-        ``loader_data.py:468-478`` — minus its delete-during-scan race:
-        skipped files are left alone; classified files delete post-POST)."""
+        ``loader_data.py:468-478``). Confirmed-classified leftovers (e.g.
+        from a crash between POST and cleanup) are deleted here — AFTER the
+        backend confirms it has their labels, not mid-scan like the
+        reference — so the dir and the per-message check cost stay bounded."""
         import requests
 
         from vct.serve.deployment import construct_url
@@ -95,6 +98,11 @@ class Worker:
                     )
                     if r.status_code == 200 and "labels" in r.json():
                         skip.append(fname)
+                        try:
+                            os.remove(os.path.join(self.cfg.video_dir, fname))
+                            print(f"Deleted already-classified video: {fname}")
+                        except OSError:
+                            pass
                 except Exception:
                     continue
         except FileNotFoundError:

@@ -151,6 +151,7 @@ class Trainer:
         self._tx = self._make_optimizer()
         self._train_step = None
         self._eval_step = None
+        self._eval_probs = None
         # Batches must divide evenly over the mesh data axis; pad with
         # mask-0 rows up to the next multiple (loss/metrics ignore padding).
         data_size = self.mesh.shape["data"]
@@ -488,14 +489,16 @@ class Trainer:
         auc_probs, auc_labels = [], []
         eval_probs = None
         if compute_auc and self.classif_mode == "multiclass":
-            model = self.model
-            eval_probs = self._with_mesh(
-                jax.jit(
-                    lambda p, e, xb: jax.nn.softmax(
-                        model.apply({"params": p, **e}, xb), axis=-1
+            if getattr(self, "_eval_probs", None) is None:
+                model = self.model
+                self._eval_probs = self._with_mesh(
+                    jax.jit(
+                        lambda p, e, xb: jax.nn.softmax(
+                            model.apply({"params": p, **e}, xb), axis=-1
+                        )
                     )
                 )
-            )
+            eval_probs = self._eval_probs
 
         start = time.time()
         if self.classif_mode == "multiclass":

@@ -27,6 +27,21 @@ __all__ = [
 ]
 
 
+def _midranks(values: np.ndarray) -> np.ndarray:
+    """Tie-averaged (mid) ranks, 1-based — scipy.stats.rankdata semantics."""
+    order = np.argsort(values, kind="mergesort")
+    ranks = np.empty(len(values), np.float64)
+    sorted_vals = values[order]
+    i = 0
+    while i < len(values):
+        j = i
+        while j + 1 < len(values) and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
 def macro_auc(probs: np.ndarray, labels: np.ndarray, num_classes: int) -> float:
     """Macro one-vs-rest ROC AUC (the videomamba eval's extra metric,
     ``lrcn/videomamba.py:493-564``). Rank-based (Mann-Whitney), no sklearn
@@ -39,12 +54,7 @@ def macro_auc(probs: np.ndarray, labels: np.ndarray, num_classes: int) -> float:
         neg = probs[labels != c, c]
         if len(pos) == 0 or len(neg) == 0:
             continue
-        try:
-            from scipy.stats import rankdata
-
-            ranks = rankdata(np.concatenate([pos, neg]))  # tie-averaged
-        except ImportError:
-            ranks = np.argsort(np.argsort(np.concatenate([pos, neg]))) + 1.0
+        ranks = _midranks(np.concatenate([pos, neg]))  # tie-averaged
         auc = (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2) / (
             len(pos) * len(neg)
         )
