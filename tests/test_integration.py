@@ -170,6 +170,30 @@ def test_dryrun_multichip_contract():
     graft.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions():
+    """dryrun_multichip must pass in the DEFAULT machine env (no cpu mesh
+    pre-provisioned): it re-execs itself onto a scrubbed virtual-CPU child.
+
+    Round-1 driver run failed exactly here (MULTICHIP_r01.json rc=1): the
+    entry assumed the caller had already set up an 8-device backend."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # Simulate the driver's default env: no cpu platform pin, no virtual
+    # device count, no test-harness markers.
+    for k in ("JAX_PLATFORMS", "XLA_FLAGS", "VCT_TEST_REEXEC", "VCT_TEST_TPU"):
+        env.pop(k, None)
+    env["PYTHONPATH"] = repo
+    p = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "dryrun_multichip ok" in p.stdout
+
+
 def test_device_sampling_loader(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from vct.serve.deployment import _load_with_device_sampling
