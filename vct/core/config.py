@@ -133,6 +133,11 @@ class ModelConfig:
     # Which scan implementation the SSM/RNN layers use:
     #   "associative" (lax.associative_scan), "scan" (lax.scan), "pallas"
     scan_impl: str = "associative"
+    # Path to a torchvision state_dict (.pth / .npz) for the backbone — the
+    # reference's ``pretrained=True`` (models.py:133) with the download
+    # replaced by a user-supplied file (no egress on TPU pods). Ported at
+    # init via vct.models.backbones.port.load_torch_backbone.
+    backbone_weights: str = ""
 
     @property
     def resolved_hidden_size(self) -> int:

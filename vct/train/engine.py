@@ -193,6 +193,19 @@ class Trainer:
     def init_state(self, rng: jax.Array, sample_x: np.ndarray) -> TrainState:
         with self.mesh:  # seq_shard constraints need axis names at trace
             variables = self.model.init(rng, jnp.asarray(sample_x[:1]))
+        if self.cfg.model.backbone_weights:
+            # pretrained=True equivalent (models.py:133): port a user-supplied
+            # torchvision state_dict into the backbone submodule.
+            from vct.models.backbones.port import (
+                load_state_dict_file,
+                port_backbone_into_model,
+            )
+
+            variables = port_backbone_into_model(
+                variables,
+                self.cfg.model.cnn_backbone,
+                load_state_dict_file(self.cfg.model.backbone_weights),
+            )
         if self.cfg.train.init_from:
             # Warm-start from a saved checkpoint (shapes must match).
             from vct.train.checkpoint import load_checkpoint
