@@ -38,18 +38,18 @@ class _Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc=None, mask=None, deterministic=True):
-        y = nn.LayerNorm(name="ln1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dropout_rate=self.dropout, name="self_attn"
         )(y, y, mask=mask, deterministic=deterministic)
         x = x + y
         if self.cross:
-            y = nn.LayerNorm(name="ln_cross")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name="ln_cross")(x)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, dropout_rate=self.dropout, name="cross_attn"
             )(y, enc, deterministic=deterministic)
             x = x + y
-        y = nn.LayerNorm(name="ln2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         y = nn.Dense(self.hidden * 4, name="mlp_in")(y)
         y = nn.Dense(self.hidden, name="mlp_out")(nn.gelu(y))
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
@@ -87,7 +87,7 @@ class TransformerCaptioner(nn.Module):
                    name=f"dec_{i}")
             for i in range(self.num_layers)
         ]
-        self.out_ln = nn.LayerNorm(name="out_ln")
+        self.out_ln = nn.LayerNorm(epsilon=1e-5, name="out_ln")
         self.out = nn.Dense(self.vocab_size, name="out")
 
     def encode(self, video, deterministic: bool = True):

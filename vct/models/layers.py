@@ -14,6 +14,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# All LayerNorms use epsilon=1e-5: torch.nn.LayerNorm's default, required for
+# logit parity with the reference (flax defaults to 1e-6).
+
 __all__ = [
     "RMSNorm",
     "CanonicalAdapter",
@@ -52,13 +55,13 @@ class CanonicalAdapter(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         f = x.shape[-1]
         x = nn.Dense(f // 2, name="adapt1")(x)
-        x = nn.LayerNorm(name="bn1")(nn.gelu(x, approximate=False))
+        x = nn.LayerNorm(epsilon=1e-5, name="bn1")(nn.gelu(x, approximate=False))
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(f // 4, name="adapt2")(x)
-        x = nn.LayerNorm(name="bn2")(nn.gelu(x, approximate=False))
+        x = nn.LayerNorm(epsilon=1e-5, name="bn2")(nn.gelu(x, approximate=False))
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(self.out_size, name="adapt3")(x)
-        x = nn.LayerNorm(name="bn3")(nn.gelu(x, approximate=False))
+        x = nn.LayerNorm(epsilon=1e-5, name="bn3")(nn.gelu(x, approximate=False))
         return x
 
 
@@ -117,7 +120,7 @@ class AdaptDSL(nn.Module):
                 if ch == "l":
                     x = nn.Dense(sizes[i + 1], name=f"cell{i}_linear")(x)
                 elif ch == "n":
-                    x = nn.LayerNorm(name=f"cell{i}_norm")(x)
+                    x = nn.LayerNorm(epsilon=1e-5, name=f"cell{i}_norm")(x)
                 elif ch == "d":
                     x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
                 else:
@@ -138,9 +141,9 @@ class MulticlassHead(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         f = x.shape[-1]
-        x = nn.LayerNorm(name="bn0")(x)
-        x = nn.LayerNorm(name="bna")(nn.gelu(nn.Dense(f // 2, name="fc")(x), approximate=False))
-        x = nn.LayerNorm(name="bnb")(nn.gelu(nn.Dense(f // 4, name="fca")(x), approximate=False))
+        x = nn.LayerNorm(epsilon=1e-5, name="bn0")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="bna")(nn.gelu(nn.Dense(f // 2, name="fc")(x), approximate=False))
+        x = nn.LayerNorm(epsilon=1e-5, name="bnb")(nn.gelu(nn.Dense(f // 4, name="fca")(x), approximate=False))
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return nn.Dense(self.num_classes, name="fcb")(x)
 
