@@ -250,6 +250,11 @@ void* ccl_open(const char* path, int64_t batch, int shuffle, uint64_t seed,
   struct stat st;
   fstat(ld->fd, &st);
   ld->map_size = st.st_size;
+  if (ld->map_size < (int64_t)sizeof(Header)) {
+    ::close(ld->fd);
+    delete ld;
+    return nullptr;
+  }
   ld->map = (uint8_t*)mmap(nullptr, ld->map_size, PROT_READ, MAP_SHARED, ld->fd, 0);
   if (ld->map == MAP_FAILED) {
     ::close(ld->fd);
@@ -257,7 +262,11 @@ void* ccl_open(const char* path, int64_t batch, int shuffle, uint64_t seed,
     return nullptr;
   }
   std::memcpy(&ld->hd, ld->map, sizeof(Header));
-  if (ld->hd.magic != kMagic) {
+  // A truncated or foreign file must fail the open, not SIGBUS a gather
+  // thread: the payload size has to match the header exactly.
+  uint64_t want_size = sizeof(Header) +
+      ld->hd.num_clips * (label_bytes(ld->hd) + clip_bytes(ld->hd));
+  if (ld->hd.magic != kMagic || (uint64_t)ld->map_size != want_size) {
     munmap(ld->map, ld->map_size);
     ::close(ld->fd);
     delete ld;

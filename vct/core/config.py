@@ -65,6 +65,10 @@ class DataConfig:
     # lrcn/mamba.py:440-457): train on random clips, no dataset needed.
     synthetic: bool = False
     synthetic_samples: int = 64
+    # Out-of-core training: stream batches straight from the dataset cache
+    # (HDF5 or clipcache) instead of materializing the arrays in host RAM —
+    # at reference scale (4000 x 60 x 80 x 80 x 3 f32 ~ 18 GB) in-RAM breaks.
+    stream: bool = False
 
     @property
     def cache_key(self) -> str:

@@ -40,7 +40,6 @@ from vct.core.metrics_contract import (
     print_param_counts,
     print_training_duration,
 )
-from vct.data.batcher import batches
 from vct.models import build_model
 from vct.parallel.mesh import batch_sharding, host_to_device, make_mesh
 from vct.train.metrics import (
@@ -151,7 +150,6 @@ class Trainer:
         self._tx = self._make_optimizer()
         self._train_step = None
         self._eval_step = None
-        self._eval_probs = None
         # Batches must divide evenly over the mesh data axis; pad with
         # mask-0 rows up to the next multiple (loss/metrics ignore padding).
         data_size = self.mesh.shape["data"]
@@ -304,10 +302,27 @@ class Trainer:
         def eval_step(params, extra_vars, xb, yb, mask):
             logits = model.apply({"params": params, **extra_vars}, xb)
             if mode == "multiclass":
-                return multiclass_confusion(logits, yb, num_classes, mask)
+                # One forward serves both confusion counts and AUC probs.
+                conf = multiclass_confusion(logits, yb, num_classes, mask)
+                return conf, jax.nn.softmax(logits, axis=-1)
             return multilabel_counts(logits, yb, mask)
 
         return self._with_mesh(jax.jit(eval_step))
+
+    def _put_batch(self, xb, yb, mask, shard):
+        """Device-put one padded batch; uint8 clips are normalized on-device
+        (uint8 also quarters the host->device copy)."""
+        if xb.dtype == np.uint8:
+            from vct.data.preprocess import preprocess_clips
+
+            xd = preprocess_clips(jax.device_put(jnp.asarray(xb), shard))
+        else:
+            xd = jax.device_put(jnp.asarray(xb), shard)
+        return (
+            xd,
+            jax.device_put(jnp.asarray(yb), shard),
+            jax.device_put(jnp.asarray(mask), shard),
+        )
 
     def _with_mesh(self, fn):
         """Run a jitted step inside the mesh context so bare-PartitionSpec
@@ -324,14 +339,21 @@ class Trainer:
     def fit(
         self,
         state: TrainState,
-        x: np.ndarray,
-        y: np.ndarray,
+        x,
+        y: Optional[np.ndarray] = None,
         log: bool = True,
     ) -> Tuple[TrainState, RunMetrics]:
-        """Epoch loop with the reference's stdout contract."""
+        """Epoch loop with the reference's stdout contract.
+
+        ``x`` is either an in-memory array (with labels ``y``) or any batch
+        loader (``vct.data.loaders``) — the out-of-core HDF5/clipcache
+        streams and the in-RAM path share this one engine (resume, both
+        early stops, history JSON, profiling, log_every)."""
+        from vct.data.loaders import as_loader
         from vct.utils.profiling import StepTimer, device_trace, write_history
 
         t = self.cfg.train
+        loader = as_loader(x, y, t.batch_size)
         if self._train_step is None:
             self._train_step = self._build_train_step()
         step_fn = self._train_step
@@ -351,20 +373,17 @@ class Trainer:
             if start_epoch:
                 print(f"Resuming training from epoch {start_epoch}")
                 # Fast-forward the shuffle stream so epoch k sees the same
-                # permutation it would in an uninterrupted run.
+                # permutation it would in an uninterrupted run (every loader
+                # consumes exactly one permutation per epoch).
                 for _ in range(start_epoch):
-                    rng.shuffle(np.arange(len(x)))
+                    rng.permutation(loader.num_examples)
         for epoch in range(start_epoch, t.epochs):
-            running_loss, correct, total = 0.0, 0.0, 0.0
+            running_loss, correct, total, seen = 0.0, 0.0, 0.0, 0
             trace_ctx = device_trace(t.profile_dir if epoch == 0 else None)
             with trace_ctx:
-                for step_i, (xb, yb, mask) in enumerate(
-                    batches(x, y, t.batch_size, shuffle=True, rng=rng)
-                ):
+                for step_i, (xb, yb, mask) in enumerate(loader.epoch(rng)):
                     xb, yb, mask = self._pad_batch(xb, yb, mask)
-                    xb = jax.device_put(jnp.asarray(xb), shard)
-                    yb = jax.device_put(jnp.asarray(yb), shard)
-                    mb = jax.device_put(jnp.asarray(mask), shard)
+                    xb, yb, mb = self._put_batch(xb, yb, mask, shard)
                     timer.start()
                     state, loss, c, n = step_fn(state, xb, yb, mb)
                     loss_f = float(loss)  # forces completion for the timer
@@ -373,12 +392,13 @@ class Trainer:
                     running_loss += loss_f * bs
                     correct += float(c)
                     total += float(n)
+                    seen += int(bs)
                     if t.log_every and (step_i + 1) % t.log_every == 0:
                         print(
                             f"step {int(state.step)}: loss {loss_f:.4f} "
                             f"({timer.last_ms:.1f} ms/step)"
                         )
-            epoch_loss = running_loss / max(len(x), 1)
+            epoch_loss = running_loss / max(seen, 1)
             epoch_acc = correct / max(total, 1)
             run.epoch_losses.append(epoch_loss)
             run.epoch_accs.append(epoch_acc)
@@ -428,111 +448,45 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit_stream(self, state: TrainState, loader, log: bool = True):
-        """Epoch loop over a native ClipCacheLoader: uint8 batches stream in
-        from the mmap prefetch threads, normalization happens on-device
-        (``vct.data.preprocess.preprocess_clips``), everything else matches
-        ``fit``."""
-        from vct.data.preprocess import preprocess_clips
-        from vct.utils.profiling import StepTimer
-
-        t = self.cfg.train
-        if self._train_step is None:
-            self._train_step = self._build_train_step()
-        step_fn = self._train_step
-        shard = batch_sharding(self.mesh)
-        run = RunMetrics()
-        timer = StepTimer()
-
-        start = time.time()
-        for epoch in range(t.epochs):
-            running_loss, correct, total, seen = 0.0, 0.0, 0.0, 0
-            for xb_u8, yb in loader.epoch():
-                mask = np.ones(len(xb_u8), np.float32)
-                xb_u8_p, yb, mask = self._pad_batch(xb_u8, yb, mask)
-                raw = jax.device_put(jnp.asarray(xb_u8_p), shard)
-                xb = preprocess_clips(raw)
-                yb = jax.device_put(jnp.asarray(yb), shard)
-                mb = jax.device_put(jnp.asarray(mask), shard)
-                timer.start()
-                state, loss, c, n = step_fn(state, xb, yb, mb)
-                loss_f = float(loss)
-                timer.stop()
-                bs = float(np.sum(mask))
-                running_loss += loss_f * bs
-                correct += float(c)
-                total += float(n)
-                seen += int(bs)
-            epoch_loss = running_loss / max(seen, 1)
-            epoch_acc = correct / max(total, 1)
-            run.epoch_losses.append(epoch_loss)
-            run.epoch_accs.append(epoch_acc)
-            if log:
-                print_epoch_line(epoch, t.epochs, epoch_loss, epoch_acc)
-            if t.early_stop and epoch_loss < t.early_stop:
-                break
-
-        run.training_duration = time.time() - start
-        if log:
-            print_training_duration(run.training_duration)
-            counts = count_parameters(
-                state.params, self.cfg.model.finetune, self.cfg.model.freeze_until
-            )
-            run.trainable_params = counts["Trainable parameters"]
-            run.non_trainable_params = counts["Non-trainable parameters"]
-            run.total_params = counts["Total parameters"]
-            print_param_counts(run.trainable_params, run.non_trainable_params)
-        return state, run
+        """Back-compat alias: the loader path IS ``fit`` now."""
+        return self.fit(state, loader, log=log)
 
     # ------------------------------------------------------------------
     def evaluate(
         self,
         state: TrainState,
-        x: np.ndarray,
-        y: np.ndarray,
+        x,
+        y: Optional[np.ndarray] = None,
         log: bool = True,
         run: Optional[RunMetrics] = None,
         compute_auc: bool = False,
     ) -> RunMetrics:
+        """``x`` is an array (with labels ``y``) or any batch loader —
+        evaluation streams out-of-core exactly like ``fit``."""
+        from vct.data.loaders import as_loader
+
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
         eval_fn = self._eval_step
         shard = batch_sharding(self.mesh)
-        bs = self.cfg.train.batch_size
+        loader = as_loader(x, y, self.cfg.train.batch_size)
 
         auc_probs, auc_labels = [], []
-        eval_probs = None
-        if compute_auc and self.classif_mode == "multiclass":
-            if getattr(self, "_eval_probs", None) is None:
-                model = self.model
-                self._eval_probs = self._with_mesh(
-                    jax.jit(
-                        lambda p, e, xb: jax.nn.softmax(
-                            model.apply({"params": p, **e}, xb), axis=-1
-                        )
-                    )
-                )
-            eval_probs = self._eval_probs
+        want_auc = compute_auc and self.classif_mode == "multiclass"
 
         start = time.time()
+        n_examples = 0
         if self.classif_mode == "multiclass":
             confusion = np.zeros((self.num_classes, self.num_classes))
-            for xb, yb, mask in batches(x, y, bs):
-                xb, yb, mask = self._pad_batch(xb, yb, mask)
-                xb_d = jax.device_put(jnp.asarray(xb), shard)
-                out = eval_fn(
-                    state.params,
-                    state.extra_vars,
-                    xb_d,
-                    jax.device_put(jnp.asarray(yb), shard),
-                    jax.device_put(jnp.asarray(mask), shard),
-                )
-                confusion += np.asarray(out)
-                if eval_probs is not None:
-                    n_valid = int(mask.sum())
-                    probs = np.asarray(
-                        eval_probs(state.params, state.extra_vars, xb_d)
-                    )[:n_valid]
-                    auc_probs.append(probs)
+            for xb, yb, mask in loader.epoch():
+                n_valid = int(mask.sum())
+                n_examples += n_valid
+                xb, yb_h, mask = self._pad_batch(xb, yb, mask)
+                xd, yd, md = self._put_batch(xb, yb_h, mask, shard)
+                conf, probs = eval_fn(state.params, state.extra_vars, xd, yd, md)
+                confusion += np.asarray(conf)
+                if want_auc:
+                    auc_probs.append(np.asarray(probs)[:n_valid])
                     auc_labels.append(yb[:n_valid])
             metrics = multiclass_metrics(confusion, self.class_names)
             if auc_probs:
@@ -548,18 +502,16 @@ class Trainer:
         else:
             counts = np.zeros((self.num_classes, 4))
             exact = 0.0
-            for xb, yb, mask in batches(x, y, bs):
+            for xb, yb, mask in loader.epoch():
+                n_examples += int(mask.sum())
                 xb, yb, mask = self._pad_batch(xb, yb, mask)
-                c, e = eval_fn(
-                    state.params,
-                    state.extra_vars,
-                    jax.device_put(jnp.asarray(xb), shard),
-                    jax.device_put(jnp.asarray(yb), shard),
-                    jax.device_put(jnp.asarray(mask), shard),
-                )
+                xd, yd, md = self._put_batch(xb, yb, mask, shard)
+                c, e = eval_fn(state.params, state.extra_vars, xd, yd, md)
                 counts += np.asarray(c)
                 exact += float(e)
-            metrics = multilabel_metrics(counts, exact, float(len(x)), self.class_names)
+            metrics = multilabel_metrics(
+                counts, exact, float(n_examples), self.class_names
+            )
 
         metrics.inference_duration = time.time() - start
         if run is not None:
