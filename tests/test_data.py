@@ -196,3 +196,59 @@ class TestIngest:
             skip=["vid0.mp4"], decode_workers=1,
         )
         assert names == ["vid1.mp4"]
+
+
+class TestDeviceSamplingBuckets:
+    """--device_sampling fixes: true uniform on device, bucketed lengths."""
+
+    def test_device_uniform_matches_host(self):
+        import jax.numpy as jnp
+
+        from vct.data.preprocess import device_sample_clips
+        from vct.data.samplers import uniform_sampling
+
+        rng = np.random.RandomState(0)
+        frames = [rng.randint(0, 256, (8, 8, 3), np.uint8) for _ in range(23)]
+        T = 6
+        want = np.stack(uniform_sampling(frames, T)).astype(np.float32) / 255.0
+        got = np.asarray(
+            device_sample_clips(jnp.asarray(np.stack(frames))[None], T,
+                                method="uniform")
+        )[0]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_bucketed_padding_matches_unpadded(self):
+        """Pad tail + true length mask == unpadded selection, every method."""
+        import jax.numpy as jnp
+
+        from vct.data.preprocess import device_sample_clips
+
+        rng = np.random.RandomState(1)
+        L, T, bucket = 9, 4, 16
+        clip = rng.randint(0, 256, (L, 8, 8, 3), np.uint8)
+        padded = np.concatenate([clip, np.repeat(clip[-1:], bucket - L, 0)])
+        for method in ("uniform", "sad", "ssim", "flow"):
+            want = np.asarray(
+                device_sample_clips(jnp.asarray(clip)[None], T, method=method)
+            )
+            got = np.asarray(
+                device_sample_clips(
+                    jnp.asarray(padded)[None], T, method=method,
+                    lengths=jnp.asarray([L], jnp.int32),
+                )
+            )
+            np.testing.assert_allclose(got, want, atol=1e-6, err_msg=method)
+
+    def test_length_bucket_bounds_compiles(self):
+        from vct.serve.deployment import _length_bucket
+
+        T = 60
+        buckets = {_length_bucket(n, T) for n in range(61, 1921)}
+        assert buckets == {120, 240, 480, 960, 1920}
+        assert all(_length_bucket(n, T) >= n for n in range(61, 2000))
+
+    def test_unknown_device_sampling_raises(self, tmp_path):
+        from vct.serve.deployment import _load_with_device_sampling
+
+        with pytest.raises(KeyError, match="Unknown sampling method"):
+            _load_with_device_sampling(str(tmp_path), "nonsense", 6, 8, 8)

@@ -54,18 +54,42 @@ def device_sample_clips(
     sequence_length: int,
     method: str = "sad",
     out_hw: Optional[Tuple[int, int]] = None,
+    lengths: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """uint8 (B, L, H, W, 3) with L >= T: score transitions on device, keep
-    frame 0 + the (T-1) most-dynamic frames per clip, then normalize/resize.
+    """uint8 (B, L, H, W, 3) with L >= T: select T frames per clip on device,
+    then normalize/resize.
 
-    The device analogue of the host samplers — SAD is exact; SSIM matches the
-    host uniform-window SSIM; "flow" is the documented difference-energy proxy
-    for Farneback magnitude (SURVEY.md §7 hard-part 5).
+    ``lengths`` (B,) gives each clip's true frame count when the L axis is
+    padded up to a bucket size (bounded compile count — the padded tail is
+    masked out of selection, so results match the unpadded call exactly).
+
+    Methods — the device analogues of the host samplers:
+      * "uniform": stride selection, idx = (true_len // T) * arange(T)
+        (identical indices to ``vct.data.samplers.uniform_sampling``)
+      * "sad" (exact), "ssim" (uniform-window SSIM), "flow" (the documented
+        difference-energy proxy for Farneback magnitude, SURVEY.md §7): score
+        transitions, keep frame 0 + the (T-1) most-dynamic frames.
     """
+    L = raw.shape[1]
+    lens = (
+        lengths.astype(jnp.int32)
+        if lengths is not None
+        else jnp.full((raw.shape[0],), L, jnp.int32)
+    )
+    if method == "uniform":
+        interval = jnp.maximum(lens // sequence_length, 1)
+        idx = interval[:, None] * jnp.arange(sequence_length, dtype=jnp.int32)
+        selected = jnp.take_along_axis(
+            raw, idx[:, :, None, None, None], axis=1
+        )
+    else:
 
-    def one(clip):
-        scores = device_frame_scores(clip, method)
-        return device_select_topk(clip, scores, sequence_length)
+        def one(clip, length):
+            scores = device_frame_scores(clip, method)
+            # transitions at/after the true end are padding: never selected
+            pos = jnp.arange(scores.shape[0])
+            scores = jnp.where(pos < length - 1, scores, -jnp.inf)
+            return device_select_topk(clip, scores, sequence_length)
 
-    selected = jax.vmap(one)(raw)
+        selected = jax.vmap(one)(raw, lens)
     return preprocess_clips(selected, out_hw=out_hw)

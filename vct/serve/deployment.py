@@ -145,13 +145,32 @@ def post_results(results: List[dict], backend_url: str) -> None:
             print(f"Error sending result to backend for {video_name}: {e}")
 
 
+_DEVICE_METHODS = {
+    "uniform": "uniform",
+    "ssim": "ssim",
+    "sad": "sad",
+    "optical_flow": "flow",
+    "optiflow": "flow",
+}
+
+
+def _length_bucket(n_frames: int, seq_len: int) -> int:
+    """Pad decoded length up to seq_len * 2^k: at most 2x selection work and
+    a log-bounded number of compiled executables across arbitrary videos."""
+    bucket = seq_len * 2
+    while bucket < n_frames:
+        bucket *= 2
+    return bucket
+
+
 def _load_with_device_sampling(
     videos_dir: str, sampling: str, seq_len: int, img_h: int, img_w: int
 ):
     """Decode ALL frames per clip on the host (uint8, no per-frame python
-    scoring), then run the sampling scores + top-k selection + normalization
-    on-device (``vct.data.preprocess.device_sample_clips``). Clips batch by
-    their decoded length so each length compiles once."""
+    scoring), then run frame selection + normalization on-device
+    (``vct.data.preprocess.device_sample_clips``). Decoded lengths pad up to
+    power-of-two buckets of seq_len with the true length passed in, so the
+    compile count stays O(log max_len) instead of one per distinct length."""
     import os
 
     import jax.numpy as jnp
@@ -159,7 +178,12 @@ def _load_with_device_sampling(
     from vct.data.preprocess import device_sample_clips, preprocess_clips
     from vct.data.video import decode_video
 
-    method = {"uniform": "sad", "ssim": "ssim", "sad": "sad"}.get(sampling, "flow")
+    if sampling not in _DEVICE_METHODS:
+        raise KeyError(
+            f"Unknown sampling method {sampling!r} for --device_sampling; "
+            f"available: {sorted(_DEVICE_METHODS)}"
+        )
+    method = _DEVICE_METHODS[sampling]
     names, clips = [], []
     for fname in sorted(os.listdir(videos_dir)):
         if not fname.lower().endswith((".mp4", ".avi", ".mov", ".mkv", ".webm")):
@@ -171,15 +195,22 @@ def _load_with_device_sampling(
             continue
         if not frames:
             continue
-        raw = np.stack(frames)[None]  # (1, L, H, W, 3) uint8
-        if raw.shape[1] <= seq_len:
+        n = len(frames)
+        if n <= seq_len:
             from vct.data.samplers import duplicate_frames
 
-            padded = np.stack(duplicate_frames(list(raw[0]), seq_len))[None]
+            padded = np.stack(duplicate_frames(frames, seq_len))[None]
             clip = np.asarray(preprocess_clips(jnp.asarray(padded)))
         else:
+            bucket = _length_bucket(n, seq_len)
+            raw = np.zeros((1, bucket) + frames[0].shape, np.uint8)
+            raw[0, :n] = np.stack(frames)
+            raw[0, n:] = frames[-1]  # pad tail; masked out of selection
             clip = np.asarray(
-                device_sample_clips(jnp.asarray(raw), seq_len, method=method)
+                device_sample_clips(
+                    jnp.asarray(raw), seq_len, method=method,
+                    lengths=jnp.asarray([n], jnp.int32),
+                )
             )
         clips.append(clip[0])
         names.append(fname)
