@@ -310,3 +310,87 @@ class TestCrawler:
         store.insert("https://t/v/7", ["safe"])
         assert is_url_classified("https://t/v/7", f"{base}/video_labels")
         assert not is_url_classified("https://t/v/8", f"{base}/video_labels")
+
+
+class TestWorkerRetention:
+    def test_post_results_reports_per_video_status(self, monkeypatch):
+        from vct.serve import deployment
+
+        calls = {}
+
+        class FakeResp:
+            def __init__(self, code):
+                self.status_code = code
+                self.text = "x"
+
+        def fake_post(url, json=None, timeout=None):
+            name = json["url"].rsplit("/", 1)[-1]
+            calls[name] = True
+            return FakeResp(500 if name == "222" else 200)
+
+        import requests
+
+        monkeypatch.setattr(requests, "post", fake_post)
+        results = [
+            {"video_name": f"@u_video_{i}.mp4", "labels": ["a"],
+             "scores": [1.0], "timestamp": "t"}
+            for i in (111, 222)
+        ] + [{"video_name": "nourl.mp4", "labels": ["a"], "scores": [1.0],
+              "timestamp": "t"}]
+        posted = deployment.post_results(results, "http://x/classify")
+        assert posted == {
+            "@u_video_111.mp4": True,
+            "@u_video_222.mp4": False,
+            "nourl.mp4": False,
+        }
+
+    def test_backend_base_url_override(self):
+        from vct.core.config import ServeConfig
+
+        cfg = ServeConfig(backend_base_url="http://elsewhere:9000/")
+        assert cfg.backend_url == "http://elsewhere:9000/classify"
+        assert cfg.backend_checker == "http://elsewhere:9000/video_labels"
+        # default derivation still works
+        assert "localhost" in ServeConfig().backend_url
+        assert "backend_rt" in ServeConfig(app_stage="prod").backend_url
+
+
+class TestCheckpointAtomicity:
+    def test_stale_manifest_without_state_resumes_fresh(self, tmp_path):
+        import json as _json
+
+        import jax
+
+        from vct.train.checkpoint import load_train_state
+
+        path = str(tmp_path / "ckpt")
+        import os as _os
+
+        _os.makedirs(path)
+        with open(_os.path.join(path, "train_manifest.json"), "w") as f:
+            _json.dump({"epoch": 3, "config": {}, "class_names": []}, f)
+        sentinel = object()
+        state, epoch = load_train_state(path, sentinel)
+        assert state is sentinel and epoch == 0
+
+    def test_save_twice_and_reload(self, tmp_path):
+        """Repeated saves swap atomically and leave no tmp/old litter."""
+        import os as _os
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vct.core.config import Config
+        from vct.train.checkpoint import load_checkpoint, save_checkpoint
+
+        cfg = Config()
+        path = str(tmp_path / "m")
+        for val in (1.0, 2.0):
+            variables = {"params": {"w": np.full(3, val, np.float32)}}
+            save_checkpoint(path, variables, cfg, ["a", "b"])
+        loaded, _, names, _ = load_checkpoint(path)
+        np.testing.assert_array_equal(loaded["params"]["w"], np.full(3, 2.0))
+        assert names == ["a", "b"]
+        litter = [f for f in _os.listdir(path) if f.endswith((".tmp", ".old"))]
+        assert litter == []

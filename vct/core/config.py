@@ -225,16 +225,25 @@ class ServeConfig:
     model_path: str = ""
     sampling_method: str = "uniform"
     sequence_length: int = 60
+    # Base URL of the backend service. Empty -> derived from app_stage
+    # (localhost in devel, the backend_rt container in prod); the worker
+    # honors the BACKEND_URL env var (its documented surface).
+    backend_base_url: str = ""
+
+    @property
+    def _backend_base(self) -> str:
+        if self.backend_base_url:
+            return self.backend_base_url.rstrip("/")
+        host = "backend_rt" if self.app_stage == "prod" else "localhost"
+        return f"http://{host}:{self.backend_port}"
 
     @property
     def backend_url(self) -> str:
-        host = "backend_rt" if self.app_stage == "prod" else "localhost"
-        return f"http://{host}:{self.backend_port}/classify"
+        return f"{self._backend_base}/classify"
 
     @property
     def backend_checker(self) -> str:
-        host = "backend_rt" if self.app_stage == "prod" else "localhost"
-        return f"http://{host}:{self.backend_port}/video_labels"
+        return f"{self._backend_base}/video_labels"
 
 
 @_frozen()

@@ -116,12 +116,17 @@ def classify_and_display(
     return results
 
 
-def post_results(results: List[dict], backend_url: str) -> None:
-    """POST each result to the backend (deployment.py:103-132)."""
+def post_results(results: List[dict], backend_url: str) -> dict:
+    """POST each result to the backend (deployment.py:103-132).
+
+    Returns {video_name: bool} — True only for results the backend confirmed
+    (HTTP 200/201), so callers can keep unconfirmed videos for retry."""
     import requests
 
+    posted = {}
     for result in results:
         video_name = result["video_name"]
+        posted[video_name] = False
         video_url = construct_url(video_name)
         if not video_url:
             print(f"Failed to construct URL for {video_name}")
@@ -135,6 +140,7 @@ def post_results(results: List[dict], backend_url: str) -> None:
         try:
             response = requests.post(backend_url, json=payload, timeout=10)
             if response.status_code in (200, 201):
+                posted[video_name] = True
                 print(f"Successfully sent classification result to backend for {video_name}")
             else:
                 print(
@@ -143,6 +149,7 @@ def post_results(results: List[dict], backend_url: str) -> None:
                 )
         except Exception as e:
             print(f"Error sending result to backend for {video_name}: {e}")
+    return posted
 
 
 _DEVICE_METHODS = {

@@ -67,8 +67,13 @@ class Worker:
         results = classify_and_display(
             self.model, self.variables, clips, names, self.class_names
         )
-        post_results(results, self.cfg.backend_url)
+        posted = post_results(results, self.cfg.backend_url)
+        # Delete only videos whose result the backend confirmed; failures
+        # stay on disk and retry via the _already_classified/leftover path.
         for name in names:
+            if not posted.get(name):
+                print(f"Keeping {name} for retry (result not confirmed)")
+                continue
             path = os.path.join(self.cfg.video_dir, name)
             try:
                 os.remove(path)
@@ -122,6 +127,7 @@ def run_worker(cfg: Optional[ServeConfig] = None) -> None:
         video_dir=os.environ.get("VIDEO_DIR", "/tmp/vct_videos"),
         queue_port=int(os.environ.get("QUEUE_PORT", "54000")),
         app_stage=os.environ.get("APP_STAGE", "devel"),
+        backend_base_url=os.environ.get("BACKEND_URL", ""),
     )
     Worker(cfg).run()
 

@@ -36,6 +36,34 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _atomic_tree_save(final_path: str, tree) -> None:
+    """Save an Orbax tree next to ``final_path`` then swap it in, so a crash
+    mid-save (the exact scenario crash-tolerant training exists for) leaves
+    the previous complete checkpoint in place, never a partial one."""
+    import shutil
+
+    tmp_path = final_path + ".tmp"
+    old_path = final_path + ".old"
+    for stale in (tmp_path, old_path):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    ckpt = _checkpointer()
+    ckpt.save(tmp_path, tree)
+    ckpt.wait_until_finished()
+    if os.path.exists(final_path):
+        os.rename(final_path, old_path)
+    os.rename(tmp_path, final_path)
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+
+
+def _atomic_json_write(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(
     path: str,
     variables: Dict[str, Any],
@@ -46,23 +74,14 @@ def save_checkpoint(
     """Save model variables ({'params': ..., 'batch_stats': ...}) + manifest."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    ckpt = _checkpointer()
-    params_path = os.path.join(path, _PARAMS)
-    # Orbax refuses to overwrite; remove stale checkpoint dirs.
-    if os.path.exists(params_path):
-        import shutil
-
-        shutil.rmtree(params_path)
-    ckpt.save(params_path, jax.device_get(variables))
-    ckpt.wait_until_finished()
+    _atomic_tree_save(os.path.join(path, _PARAMS), jax.device_get(variables))
     manifest = {
         "framework": "vct",
         "config": cfg.to_dict(),
         "class_names": list(class_names),
         "metrics": metrics or {},
     }
-    with open(os.path.join(path, _MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=2)
+    _atomic_json_write(os.path.join(path, _MANIFEST), manifest)
     return path
 
 
@@ -81,19 +100,14 @@ def save_train_state(path: str, state, cfg: Config, class_names: List[str],
         "rng": jax.device_get(state.rng),
         "step": jax.device_get(state.step),
     }
-    state_path = os.path.join(path, "train_state")
-    if os.path.exists(state_path):
-        import shutil
-
-        shutil.rmtree(state_path)
-    ckpt = _checkpointer()
-    ckpt.save(state_path, tree)
-    ckpt.wait_until_finished()
-    with open(os.path.join(path, "train_manifest.json"), "w") as f:
-        json.dump(
-            {"epoch": epoch, "config": cfg.to_dict(), "class_names": class_names},
-            f,
-        )
+    _atomic_tree_save(os.path.join(path, "train_state"), tree)
+    # Manifest last: a crash between the state swap and this write resumes
+    # one epoch early (re-trains it from the newer state) rather than
+    # pointing a newer manifest at a missing checkpoint.
+    _atomic_json_write(
+        os.path.join(path, "train_manifest.json"),
+        {"epoch": epoch, "config": cfg.to_dict(), "class_names": class_names},
+    )
     return path
 
 
@@ -106,6 +120,12 @@ def load_train_state(path: str, state) -> Tuple[Any, int]:
     manifest_path = os.path.join(path, "train_manifest.json")
     if not os.path.exists(manifest_path):
         return state, 0
+    if not os.path.exists(os.path.join(path, "train_state")):
+        # Stale manifest without a state (interrupted save): start fresh
+        # instead of crashing the resume.
+        print(f"warning: {path} has a manifest but no train_state; "
+              "starting from epoch 0")
+        return state, 0
     with open(manifest_path) as f:
         manifest = json.load(f)
     target = {
@@ -116,7 +136,12 @@ def load_train_state(path: str, state) -> Tuple[Any, int]:
         "step": jax.device_get(state.step),
     }
     ckpt = _checkpointer()
-    tree = ckpt.restore(os.path.join(path, "train_state"), target)
+    try:
+        tree = ckpt.restore(os.path.join(path, "train_state"), target)
+    except Exception as e:
+        print(f"warning: could not restore train_state from {path} ({e}); "
+              "starting from epoch 0")
+        return state, 0
     as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     state = state.replace(
         params=as_jnp(tree["params"]),
