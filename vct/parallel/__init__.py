@@ -1,4 +1,6 @@
 from vct.parallel.mesh import (  # noqa: F401
+    activate_mesh,
+    ambient_mesh,
     batch_sharding,
     host_to_device,
     make_mesh,

@@ -9,6 +9,8 @@ tensor-parallel paths), and XLA inserts the ICI collectives.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Optional, Sequence
 
 import jax
@@ -21,22 +23,35 @@ __all__ = [
     "replicated",
     "shard_batch",
     "host_to_device",
+    "activate_mesh",
     "ambient_mesh",
 ]
 
+_ACTIVE = threading.local()
+
+
+@contextlib.contextmanager
+def activate_mesh(mesh: Mesh):
+    """Enter ``mesh`` for the enclosed computation: the legacy ``with mesh:``
+    context (bare-PartitionSpec sharding constraints resolve axis names at
+    trace time) plus our own carrier that ``ambient_mesh`` reads — no
+    ``jax._src`` internals involved."""
+    prev = getattr(_ACTIVE, "mesh", None)
+    _ACTIVE.mesh = mesh
+    try:
+        with mesh:
+            yield mesh
+    finally:
+        _ACTIVE.mesh = prev
+
 
 def ambient_mesh() -> Optional[Mesh]:
-    """The mesh entered via ``with mesh:`` (None outside any context).
+    """The mesh entered via ``activate_mesh`` (None outside any context).
 
     Models use this to apply sharding constraints only when an axis actually
-    divides (jax keeps the legacy context mesh in thread resources)."""
-    try:
-        from jax._src import mesh as mesh_lib
-
-        m = mesh_lib.thread_resources.env.physical_mesh
-        return None if m.empty else m
-    except Exception:
-        return None
+    divides. Tracing happens on the calling thread, so a thread-local is the
+    right carrier."""
+    return getattr(_ACTIVE, "mesh", None)
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"

@@ -19,20 +19,38 @@ from vct.parallel.mesh import MODEL_AXIS
 
 __all__ = ["param_pspec", "shard_params", "shard_state_like_params"]
 
-# Param subtrees whose 2D kernels are column-sharded over the model axis.
-_TP_SUBTREES = ("adapt", "head", "rnn", "mamba_", "layer_", "classifier")
+# Module names (exact flax path segments) whose 2D kernels column-shard over
+# the model axis: the LRCN adapter/head/temporal stacks ("adapt", "head",
+# "rnn", "mamba_<i>") and VideoMamba's blocks ("layer_<i>", "classifier").
+# Matching is anchored per segment — a param is TP only if one of its path
+# segments IS one of these names — so no future param whose name merely
+# *contains* a rule string (and in particular nothing under "cnn_backbone",
+# e.g. "layer1_0") can ever pick up a model-axis spec by accident.
+_TP_SEGMENTS = frozenset({"adapt", "head", "rnn", "classifier"})
+_TP_SEGMENT_PREFIXES = ("mamba_", "layer_")
+_EXCLUDED_SEGMENTS = frozenset({"cnn_backbone", "cnn"})
 
 
-def _path_str(path) -> str:
-    return "/".join(
-        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
-    )
+def _segments(path):
+    return [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+
+
+def _is_tp_path(segments) -> bool:
+    if any(s in _EXCLUDED_SEGMENTS for s in segments):
+        return False
+    for s in segments:
+        if s in _TP_SEGMENTS:
+            return True
+        for prefix in _TP_SEGMENT_PREFIXES:
+            # anchored: "mamba_0" / "layer_3" match, "layer1_0" does not
+            if s.startswith(prefix) and s[len(prefix):].isdigit():
+                return True
+    return False
 
 
 def param_pspec(path, leaf, model_size: int) -> P:
     """PartitionSpec for one parameter."""
-    p = _path_str(path)
-    if leaf.ndim >= 2 and any(t in p for t in _TP_SUBTREES):
+    if leaf.ndim >= 2 and _is_tp_path(_segments(path)):
         if leaf.shape[-1] % model_size == 0 and leaf.shape[-1] >= model_size:
             return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
     return P()

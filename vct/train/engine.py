@@ -189,7 +189,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_x: np.ndarray) -> TrainState:
-        with self.mesh:  # seq_shard constraints need axis names at trace
+        from vct.parallel.mesh import activate_mesh
+
+        with activate_mesh(self.mesh):  # seq_shard needs axis names at trace
             variables = self.model.init(rng, jnp.asarray(sample_x[:1]))
         if self.cfg.model.backbone_weights:
             # pretrained=True equivalent (models.py:133): port a user-supplied
@@ -329,8 +331,10 @@ class Trainer:
         sharding constraints (model.seq_shard) resolve axis names."""
         mesh = self.mesh
 
+        from vct.parallel.mesh import activate_mesh
+
         def wrapped(*args, **kwargs):
-            with mesh:
+            with activate_mesh(mesh):
                 return fn(*args, **kwargs)
 
         return wrapped
