@@ -27,9 +27,43 @@ from vct.caption.models import S2VTModel
 from vct.caption.vocab import Vocabulary
 from vct.core.config import CaptionConfig
 
-__all__ = ["CaptionTrainer", "CaptionState"]
+__all__ = ["CaptionTrainer", "CaptionState", "build_captioner"]
 
 PAD_ID = 0
+
+
+def build_captioner(cfg: CaptionConfig, vocab_size: int):
+    """String-dispatched captioner families (caption.model_kind)."""
+    if cfg.model_kind == "transformer":
+        from vct.caption.transformer import TransformerCaptioner
+
+        return TransformerCaptioner(
+            vocab_size=vocab_size, cnn_backbone=cfg.cnn_backbone,
+            cnn_output_size=cfg.cnn_output_size, hidden_size=cfg.hidden_size,
+            max_len=cfg.max_caption_len, dropout=cfg.dropout,
+        )
+    if cfg.model_kind in ("v1_lstm", "v1_gru"):
+        from vct.caption.v1_rnn import V1RNNCaptioner
+
+        return V1RNNCaptioner(
+            vocab_size=vocab_size, cnn_backbone=cfg.cnn_backbone,
+            embed_size=cfg.cnn_output_size, hidden_size=cfg.hidden_size,
+            rnn_type=cfg.model_kind.split("_")[1],
+            max_len=cfg.max_caption_len, dropout=cfg.dropout,
+        )
+    if cfg.model_kind != "s2vt":
+        raise KeyError(
+            f"Unknown caption.model_kind {cfg.model_kind!r}; "
+            "available: s2vt, transformer, v1_lstm, v1_gru"
+        )
+    return S2VTModel(
+        vocab_size=vocab_size,
+        cnn_backbone=cfg.cnn_backbone,
+        cnn_output_size=cfg.cnn_output_size,
+        hidden_size=cfg.hidden_size,
+        max_len=cfg.max_caption_len,
+        dropout=cfg.dropout,
+    )
 
 
 class CaptionState(struct.PyTreeNode):
@@ -44,14 +78,7 @@ class CaptionTrainer:
     def __init__(self, cfg: CaptionConfig, vocab: Vocabulary):
         self.cfg = cfg
         self.vocab = vocab
-        self.model = S2VTModel(
-            vocab_size=len(vocab),
-            cnn_backbone=cfg.cnn_backbone,
-            cnn_output_size=cfg.cnn_output_size,
-            hidden_size=cfg.hidden_size,
-            max_len=cfg.max_caption_len,
-            dropout=cfg.dropout,
-        )
+        self.model = build_captioner(cfg, len(vocab))
         tx = [optax.clip_by_global_norm(cfg.grad_clip)] if cfg.grad_clip else []
         tx.append(optax.adam(cfg.learning_rate))
         base = optax.chain(*tx)

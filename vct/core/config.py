@@ -250,6 +250,9 @@ class ServeConfig:
 class CaptionConfig:
     """S2VT captioning knobs (``s2vt/beam_search.py``, ``main_configurable.py``)."""
 
+    # s2vt (v2 GRU+Luong, beam_search.py:229-382) | transformer |
+    # v1_lstm | v1_gru (the stepwise v1 decoders, main_configurable.py:192-313)
+    model_kind: str = "s2vt"
     cnn_backbone: str = "resnet50"
     cnn_output_size: int = 512
     hidden_size: int = 512

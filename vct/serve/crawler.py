@@ -12,6 +12,13 @@ wrong" interstitial, ``crawler.py:60-97``); otherwise a plain requests fetch
 parses whatever server-rendered links exist — sufficient for testing and for
 profiles that render the grid statically. The link-extraction and
 classified-filter logic is pure and covered by unit tests either way.
+
+Cookies: the reference pulls session cookies live from a local Firefox
+profile via browser_cookie3 (``crawler.py:30-46``). That assumes a desktop
+browser next to the crawler; this stack runs headless in containers
+(build/crawler.dockerfile), so cookies come from an explicit Netscape
+``cookies.txt`` (``--cookies``, ``vct.serve.tiktok.load_cookies_txt``) or a
+dict — a deliberate drop of the browser-profile dependency, not an omission.
 """
 
 from __future__ import annotations

@@ -100,9 +100,8 @@ def alt_get_tiktok_json(video_url: str, cookies=None, session=None) -> Optional[
     data = _script_json(resp.text, "__UNIVERSAL_DATA_FOR_REHYDRATION__")
     if data is None:
         print(
-            "The function encountered a downstream error and did not deliver "
-            "any data, which happens periodically for various reasons. "
-            "Please try again later."
+            "TikTok returned no parseable page data (transient upstream "
+            "issue); retry later."
         )
     return data
 
@@ -166,8 +165,7 @@ def save_tiktok(
 ):
     """Download one video/slideshow + optionally append a metadata CSV row."""
     if not save_video and not metadata_fn:
-        print("Since save_video and metadata_fn are both False/blank, "
-              "the program did nothing.")
+        print("Nothing to do: save_video is False and no metadata_fn given.")
         return None
     tt_json = get_tiktok_json(video_url, cookies, session)
     if tt_json is None:
