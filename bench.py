@@ -3,13 +3,22 @@
 Measures preprocessing + forward on the flagship UCF50 config of the
 reference (``lrcn/ucf50-lrcn.py:31-38``: 80x80 frames, T=40, resnet50
 backbone, 4-layer LSTM hidden 56, rnn_input 512, rnn_out=all), bf16 compute.
+The /255 normalization is folded into the stem conv kernel
+(``vct.models.backbones.port.fold_input_scale_into_stem``) so raw uint8
+frames feed the conv stack directly — numerically identical, one less
+full-tensor HBM pass.
 
-The timed region is on-device preprocessing (uint8 -> f32 normalize, the
-tail of the decode pipeline) + the full jitted model forward. Raw uint8 clips
-are staged in device HBM before timing — this machine reaches its TPU through
-a network tunnel, so host->device copies here measure the tunnel, not a v5e
-host link; a real v5e host feeds HBM faster than the chip consumes at this
-FLOP intensity.
+Modes (env VCT_BENCH_MODE):
+  * device (default) — raw uint8 clips staged in HBM before timing; measures
+    the on-device pipeline (preprocess + forward). This machine reaches its
+    TPU through a network tunnel (~40 MB/s), so host->device copies here
+    would measure the tunnel, not a v5e host link.
+  * hostfed — every batch is device_put from host RAM inside the timed
+    window, double-buffered against compute. On a real v5e host the copy
+    (24.6 MB uint8/batch, ~1.5 ms at PCIe gen4) hides entirely under the
+    ~15 ms compute; through this tunnel the copy dominates and the number
+    reflects tunnel bandwidth — reported for pipeline honesty, see
+    docs/performance.md.
 
 Baseline: the reference's best derived GPU inference throughput is
 ~156 clips/s (lstm best entry, ``dumps/medsos_checkpoint.json``; see
@@ -29,6 +38,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# Persistent compile cache: repeat bench runs skip the remote compile.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vct_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 BASELINE_CLIPS_PER_SEC = 156.0  # BASELINE.md: 3.596s / ~560 clips (GPU, lstm)
 
 
@@ -39,10 +52,12 @@ def main() -> int:
 
     from vct.core.config import Config
     from vct.models import build_model
+    from vct.models.backbones.port import fold_input_scale_into_stem
 
     batch = int(os.environ.get("VCT_BENCH_BATCH", "32"))
     iters = int(os.environ.get("VCT_BENCH_ITERS", "20"))
     mode = os.environ.get("VCT_BENCH_MODEL", "lstm")
+    feed = os.environ.get("VCT_BENCH_MODE", "device")  # device | hostfed
 
     if mode == "mamba":
         # The deployed production config (worker.py:24 filename: mamba,
@@ -84,29 +99,50 @@ def main() -> int:
 
     init_x = jnp.zeros((2, T, H, W, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), init_x)
+    # Fold /255 into the stem kernel once, outside the step.
+    params = dict(variables["params"])
+    params["cnn_backbone"] = fold_input_scale_into_stem(
+        params["cnn_backbone"], cfg.model.cnn_backbone
+    )
+    variables = {**variables, "params": params}
 
     @jax.jit
     def infer(variables, raw):
-        # On-device preprocessing tail: uint8 -> f32, /255 normalize
-        # (loader_data.py:182 semantics), then the model forward.
-        x = raw.astype(jnp.float32) / 255.0
+        # uint8 frames feed the conv stack directly (scale folded into the
+        # stem kernel; loader_data.py:182 /255 semantics preserved exactly).
+        x = raw.astype(jnp.bfloat16)
         logits = model.apply(variables, x)
         return jnp.argmax(logits, axis=-1)
 
-    raw_dev = jax.device_put(raw_u8)
-    # Warmup / compile (fetch the value: through the axon tunnel
-    # block_until_ready alone can return before remote execution finishes).
-    np.asarray(infer(variables, raw_dev))
+    if feed == "hostfed":
+        metric += "_hostfed"
+        # Warmup / compile.
+        np.asarray(infer(variables, jax.device_put(raw_u8)))
+        # Double-buffered host feed: device_put batch k+1 while batch k
+        # computes (jax dispatch is async; the copy and the compute overlap).
+        t0 = time.perf_counter()
+        pending = jax.device_put(raw_u8)
+        out = None
+        for _ in range(iters):
+            out = infer(variables, pending)
+            pending = jax.device_put(raw_u8)
+        np.asarray(out)
+        elapsed = time.perf_counter() - t0
+    else:
+        raw_dev = jax.device_put(raw_u8)
+        # Warmup / compile (fetch the value: through the axon tunnel
+        # block_until_ready alone can return before remote execution ends).
+        np.asarray(infer(variables, raw_dev))
 
-    # Pipelined throughput: queue all iterations, force completion by
-    # fetching the final result — executions are serialized on one chip, so
-    # the last result completing bounds the whole window.
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = infer(variables, raw_dev)
-    np.asarray(out)
-    elapsed = time.perf_counter() - t0
+        # Pipelined throughput: queue all iterations, force completion by
+        # fetching the final result — executions serialize on one chip, so
+        # the last result completing bounds the whole window.
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = infer(variables, raw_dev)
+        np.asarray(out)
+        elapsed = time.perf_counter() - t0
     clips_per_sec = batch * iters / elapsed
 
     print(json.dumps({

@@ -431,3 +431,32 @@ def test_port_backbone_into_full_model():
                 np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
     out = model.apply(ported, x)
     assert out.shape == (1, cfg.model.num_classes)
+
+
+@pytest.mark.parametrize("name,size", [
+    ("resnet18", 64), ("mobilenet_v2", 64), ("densenet121", 64),
+    ("vgg16", 64), ("alexnet", 64), ("efficientnet_b0", 64),
+    ("inception_v3", 96),
+])
+def test_fold_input_scale_into_stem(name, size):
+    """conv(x/255) == conv_with_folded_kernel(x) for every family."""
+    from vct.models.backbones import BACKBONES
+    from vct.models.backbones.port import fold_input_scale_into_stem
+
+    model = BACKBONES.get(name)()
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, size, size, 3)))
+    raw = np.random.RandomState(0).randint(0, 256, (2, size, size, 3), np.uint8)
+
+    want = model.apply(variables, jnp.asarray(raw, jnp.float32) / 255.0)
+    folded = dict(variables)
+    folded["params"] = fold_input_scale_into_stem(variables["params"], name)
+    got = model.apply(folded, jnp.asarray(raw, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fold_unknown_backbone_raises():
+    from vct.models.backbones.port import fold_input_scale_into_stem
+
+    with pytest.raises(KeyError, match="No stem path"):
+        fold_input_scale_into_stem({}, "resnext")
