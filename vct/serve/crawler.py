@@ -167,6 +167,12 @@ def main(argv=None) -> int:
                         help="file with one profile URL per line")
     parser.add_argument("--video_dir", default=None)
     parser.add_argument("--cookies", default=None, help="Netscape cookies.txt")
+    parser.add_argument(
+        "--browser_cookies", default=None, metavar="BROWSER",
+        help="pull live cookies from a local browser profile (the "
+             "reference's browser_cookie3 flow; needs browser_cookie3 "
+             "installed), e.g. firefox or chrome",
+    )
     parser.add_argument("--no-download", action="store_true")
     args = parser.parse_args(argv)
 
@@ -179,6 +185,10 @@ def main(argv=None) -> int:
         from vct.serve.tiktok import load_cookies_txt
 
         cookies = load_cookies_txt(args.cookies)
+    elif args.browser_cookies:
+        from vct.serve.tiktok import load_browser_cookies
+
+        cookies = load_browser_cookies(args.browser_cookies)
     with open(args.profiles) as f:
         profiles = [line.strip() for line in f if line.strip()]
     crawl_profiles(profiles, cfg, download=not args.no_download, cookies=cookies)

@@ -35,6 +35,7 @@ __all__ = [
     "save_tiktok",
     "save_tiktok_multi_urls",
     "load_cookies_txt",
+    "load_browser_cookies",
 ]
 
 HEADERS = {
@@ -70,6 +71,24 @@ def load_cookies_txt(path: str) -> Dict[str, str]:
             if len(parts) >= 7:
                 cookies[parts[5]] = parts[6]
     return cookies
+
+
+def load_browser_cookies(browser: str = "firefox",
+                         domain: str = ".tiktok.com") -> Dict[str, str]:
+    """Best-effort live browser-cookie pull (the reference's
+    browser_cookie3 flow, ``crawler.py:30-46``). Optional: only works where
+    a desktop browser profile exists AND browser_cookie3 is installed;
+    headless deployments use ``load_cookies_txt`` instead (see the crawler
+    module docstring for the rationale)."""
+    try:
+        import browser_cookie3
+    except ImportError as e:
+        raise RuntimeError(
+            "browser_cookie3 is not installed; pass a cookies.txt "
+            "(load_cookies_txt) instead"
+        ) from e
+    jar = getattr(browser_cookie3, browser)(domain_name=domain)
+    return {c.name: c.value for c in jar}
 
 
 def _fetch(video_url: str, cookies: Optional[dict], session: Optional[requests.Session]):
