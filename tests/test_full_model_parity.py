@@ -356,3 +356,101 @@ def test_s2vt_encoder_matches_torch():
     np.testing.assert_allclose(
         np.asarray(hidden), t_hidden[0].numpy(), atol=1e-3, rtol=0
     )
+
+
+class TRefVideoMamba(torch.nn.Module):
+    """lrcn/videomamba.py:332-434 (frozen CNN + Linear adapt + mamba stack +
+    RMSNorm + temporal pool + heads), eval-mode."""
+
+    def __init__(self, temporal_mode, classif_mode, n_layer=2, d_model=12,
+                 d_inner=24, n_state=4, dt_rank=4):
+        super().__init__()
+        self.temporal_mode, self.classif_mode = temporal_mode, classif_mode
+        self.cnn_backbone = TResNet18()
+        self.adapt = torch.nn.Linear(512, d_model)
+        self.norms = torch.nn.ModuleList([TRMSNorm(d_model) for _ in range(n_layer)])
+        self.mixers = torch.nn.ModuleList([
+            TMambaMixer(d_model, d_inner, n_state, dt_rank) for _ in range(n_layer)
+        ])
+        self.norm_f = TRMSNorm(d_model)
+        head_in = d_model * T if temporal_mode == "all" else d_model
+        if classif_mode == "multiclass":
+            self.classifier = torch.nn.Linear(head_in, CLASSES)
+        else:
+            self.fcs = torch.nn.ModuleList(
+                [torch.nn.Linear(head_in, 1) for _ in range(CLASSES)]
+            )
+
+    def forward(self, x):
+        b, t = x.shape[:2]
+        x = self.cnn_backbone(x.reshape(b * t, *x.shape[2:]))
+        x = self.adapt(x).reshape(b, t, -1)
+        for norm, mixer in zip(self.norms, self.mixers):
+            x = mixer(norm(x)) + x
+        x = self.norm_f(x)
+        if self.temporal_mode == "mean":
+            x = x.mean(dim=1)
+        elif self.temporal_mode == "max":
+            x = x.max(dim=1)[0]
+        elif self.temporal_mode == "last":
+            x = x[:, -1]
+        else:
+            x = x.reshape(b, -1)
+        if self.classif_mode == "multiclass":
+            return self.classifier(x)
+        return torch.cat([fc(x) for fc in self.fcs], dim=1)
+
+
+@pytest.mark.parametrize("temporal_mode,classif_mode", [
+    ("mean", "multiclass"), ("max", "multiclass"), ("last", "multiple_binary"),
+    ("all", "multiclass"),
+])
+def test_videomamba_logits_match_torch(temporal_mode, classif_mode):
+    from vct.models.videomamba import VideoMamba
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        t_model = TRefVideoMamba(temporal_mode, classif_mode)
+        _randomize_bn_stats(t_model)
+        t_model.eval()
+        x = np.random.RandomState(1).rand(B, T, 3, H, W).astype(np.float32)
+        want = t_model(torch.from_numpy(x)).numpy()
+
+    model = VideoMamba(
+        num_classes=CLASSES, cnn_backbone="resnet18", n_layer=2, d_model=12,
+        d_inner=24, n_state=4, dt_rank=4, num_frames=T,
+        temporal_mode=temporal_mode, classification_mode=classif_mode,
+    )
+    xj = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    variables = model.init(jax.random.PRNGKey(0), xj)
+    bb_vars = {
+        "params": variables["params"]["cnn_backbone"],
+        "batch_stats": variables["batch_stats"]["cnn_backbone"],
+    }
+    bb = load_torch_backbone("resnet18", bb_vars, t_model.cnn_backbone.state_dict())
+    params = dict(variables["params"])
+    params["cnn_backbone"] = bb["params"]
+    params["adapt"] = _dense(t_model.adapt)
+    for i in range(2):
+        params[f"layer_{i}"] = {
+            "norm": {"weight": _np(t_model.norms[i].weight)},
+            "mixer": _port_mixer(t_model.mixers[i]),
+        }
+    params["norm_f"] = {"weight": _np(t_model.norm_f.weight)}
+    if classif_mode == "multiclass":
+        params["classifier"] = _dense(t_model.classifier)
+    else:
+        params["classifier"] = {
+            "kernel": np.concatenate([_np(fc.weight) for fc in t_model.fcs]).T,
+            "bias": np.concatenate([_np(fc.bias) for fc in t_model.fcs]),
+        }
+    ported = {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "batch_stats": {"cnn_backbone": jax.tree_util.tree_map(
+            jnp.asarray, bb["batch_stats"]
+        )},
+    }
+    got = np.asarray(model.apply(ported, xj))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
+    assert float(np.max(np.abs(got - want))) < 5e-4

@@ -394,3 +394,34 @@ class TestCheckpointAtomicity:
         assert names == ["a", "b"]
         litter = [f for f in _os.listdir(path) if f.endswith((".tmp", ".old"))]
         assert litter == []
+
+
+def test_classify_videos_mesh_sharded():
+    """Mesh-sharded batch inference equals the single-device result."""
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+
+    from vct.core.config import Config
+    from vct.models import build_model
+    from vct.parallel.mesh import make_mesh
+    from vct.serve.deployment import classify_videos
+
+    cfg = Config().replace(**{
+        "model.cnn_backbone": "resnet18", "model.rnn_type": "gru",
+        "model.rnn_input_size": "4", "model.rnn_layer": "1",
+        "data.sequence_length": "3",
+    })
+    model = build_model(cfg.model, 3)
+    clips = np.random.RandomState(0).rand(10, 3, 32, 32, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(clips[:1]))
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    single = classify_videos(model, variables, clips, batch_size=4)
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    sharded = classify_videos(model, variables, clips, batch_size=4, mesh=mesh)
+    assert sharded.shape == (10, cfg.model.num_classes)
+    np.testing.assert_allclose(single, sharded, atol=1e-5, rtol=1e-5)

@@ -68,14 +68,29 @@ def _jitted_infer(model):
     return fn
 
 
-def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32):
+def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32,
+                    mesh=None):
     """Jitted batched softmax probabilities for (N, T, H, W, 3) clips.
 
     The final partial chunk zero-pads up to batch_size so every call
-    compiles at most one shape."""
+    compiles at most one shape. With ``mesh`` (a ``jax.sharding.Mesh``),
+    chunks shard over the ``data`` axis and parameters replicate — the same
+    compiled step runs SPMD across every chip in the mesh (multi-chip
+    serving; the reference is single-device-only)."""
+    import jax
     import jax.numpy as jnp
 
     infer = _jitted_infer(model)
+    put = lambda x: jnp.asarray(x)  # noqa: E731
+    if mesh is not None and mesh.size > 1:
+        from vct.parallel.mesh import batch_sharding, host_to_device
+
+        # Pad chunks up to a multiple of the data axis.
+        data_size = mesh.shape["data"]
+        batch_size = ((batch_size + data_size - 1) // data_size) * data_size
+        shard = batch_sharding(mesh)
+        variables = host_to_device(variables, mesh)
+        put = lambda x: jax.device_put(jnp.asarray(x), shard)  # noqa: E731
     probs = []
     for start in range(0, len(clips), batch_size):
         chunk = clips[start : start + batch_size]
@@ -83,7 +98,7 @@ def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32):
         if n < batch_size:
             pad = np.zeros((batch_size - n,) + chunk.shape[1:], chunk.dtype)
             chunk = np.concatenate([chunk, pad])
-        probs.append(np.asarray(infer(variables, jnp.asarray(chunk)))[:n])
+        probs.append(np.asarray(infer(variables, put(chunk)))[:n])
     return np.concatenate(probs) if probs else np.zeros((0,))
 
 
