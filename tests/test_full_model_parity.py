@@ -243,7 +243,7 @@ def _port_full(t_model, flax_variables, rnn_type, classif_mode):
                 "norm": {"weight": _np(t_model.norms[i].weight)},
                 "mixer": _port_mixer(t_model.mixers[i]),
             }
-    else:
+    elif rnn_type != "none":  # "none": caller ports the temporal head itself
         params["rnn"] = {rnn_type: _port_rnn_stack(t_model.rnn, LAYERS)}
     if classif_mode == "multiclass":
         params["head"] = {
@@ -450,6 +450,125 @@ def test_videomamba_logits_match_torch(temporal_mode, classif_mode):
             jnp.asarray, bb["batch_stats"]
         )},
     }
+    got = np.asarray(model.apply(ported, xj))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
+    assert float(np.max(np.abs(got - want))) < 5e-4
+
+
+class TBidirMixer(TMambaMixer):
+    """ParallelMamba bidirectional variant (models.py:47-103: backward
+    flip-scan, concat, res duplicated, out_proj on 2*d_inner)."""
+
+    def __init__(self, d_model, d_inner, n_state, dt_rank, k=3):
+        super().__init__(d_model, d_inner, n_state, dt_rank, k)
+        self.out_proj = torch.nn.Linear(2 * d_inner, d_model)
+
+    def forward(self, x):
+        L = x.shape[1]
+        u, res = self.in_proj(x).split(self.d_inner, dim=-1)
+        u = self.conv(u.permute(0, 2, 1))[:, :, :L].permute(0, 2, 1)
+        u = F.silu(u)
+        dt, Bm, C = self.x_proj(u).split(
+            [self.dt_rank, self.n_state, self.n_state], dim=-1
+        )
+        delta = F.softplus(self.dt_proj(dt))
+        A = -torch.exp(self.A_log)
+
+        def scan(u_, delta_, Bm_, C_):
+            dA = torch.exp(delta_.unsqueeze(-1) * A)
+            dBu = delta_.unsqueeze(-1) * Bm_.unsqueeze(2) * u_.unsqueeze(-1)
+            h = torch.zeros(u_.shape[0], u_.shape[2], A.shape[1])
+            ys = []
+            for t in range(u_.shape[1]):
+                h = dA[:, t] * h + dBu[:, t]
+                ys.append(torch.einsum("bdn,bn->bd", h, C_[:, t]))
+            return torch.stack(ys, dim=1)
+
+        fwd = scan(u, delta, Bm, C)
+        idx = torch.arange(L - 1, -1, -1)
+        bwd = scan(u[:, idx], delta[:, idx], Bm[:, idx], C[:, idx])[:, idx]
+        y = torch.cat([fwd, bwd], dim=-1)
+        res = torch.cat([res, res], dim=-1)
+        return self.out_proj(y * F.silu(res))
+
+
+class TRefLRCNBidir(TRefLRCN):
+    def __init__(self, rnn_type, rnn_out, classif_mode):
+        torch.nn.Module.__init__(self)
+        self.rnn_type, self.rnn_out, self.classif_mode = rnn_type, rnn_out, classif_mode
+        self.cnn_backbone = TResNet18()
+        f = 512
+        self.adapt1 = torch.nn.Linear(f, f // 2)
+        self.bn1 = torch.nn.LayerNorm(f // 2)
+        self.adapt2 = torch.nn.Linear(f // 2, f // 4)
+        self.bn2 = torch.nn.LayerNorm(f // 4)
+        self.adapt3 = torch.nn.Linear(f // 4, RNN_INPUT)
+        self.bn3 = torch.nn.LayerNorm(RNN_INPUT)
+        if rnn_type == "mamba":
+            self.norms = torch.nn.ModuleList([TRMSNorm(RNN_INPUT) for _ in range(LAYERS)])
+            self.mixers = torch.nn.ModuleList([
+                TBidirMixer(RNN_INPUT, RNN_INPUT * 2, HIDDEN, HIDDEN)
+                for _ in range(LAYERS)
+            ])
+            out_size = RNN_INPUT
+        else:
+            cls = torch.nn.LSTM if rnn_type == "lstm" else torch.nn.GRU
+            self.rnn = cls(RNN_INPUT, HIDDEN, num_layers=LAYERS,
+                           bidirectional=True, batch_first=True)
+            out_size = HIDDEN * 2
+        fc_in = out_size * (T if rnn_out == "all" else 1)
+        self.bn0 = torch.nn.LayerNorm(fc_in)
+        self.fc = torch.nn.Linear(fc_in, fc_in // 2)
+        self.bna = torch.nn.LayerNorm(fc_in // 2)
+        self.fca = torch.nn.Linear(fc_in // 2, fc_in // 4)
+        self.bnb = torch.nn.LayerNorm(fc_in // 4)
+        self.fcb = torch.nn.Linear(fc_in // 4, CLASSES)
+
+
+def _port_rnn_stack_bidir(t_rnn, num_layers):
+    params = {}
+    for layer in range(num_layers):
+        for suffix in ("", "_reverse"):
+            for kind in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                v = _np(getattr(t_rnn, f"{kind}_l{layer}{suffix}"))
+                params[f"{kind}_l{layer}{suffix}"] = (
+                    v.T if kind.startswith("weight") else v
+                )
+    return params
+
+
+@pytest.mark.parametrize("rnn_type", ["lstm", "mamba"])
+def test_lrcn_bidirectional_logits_match_torch(rnn_type):
+    torch.manual_seed(0)
+    with torch.no_grad():
+        t_model = TRefLRCNBidir(rnn_type, "all", "multiclass")
+        _randomize_bn_stats(t_model)
+        t_model.eval()
+        x = np.random.RandomState(1).rand(B, T, 3, H, W).astype(np.float32)
+        want = t_model(torch.from_numpy(x)).numpy()
+
+    model = LRCN(
+        num_classes=CLASSES, sequence_length=T, hidden_size=HIDDEN,
+        rnn_input_size=RNN_INPUT, cnn_backbone="resnet18", rnn_type=rnn_type,
+        rnn_layer=LAYERS, rnn_out="all", classif_mode="multiclass",
+        bidirectional=True,
+    )
+    xj = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    variables = model.init(jax.random.PRNGKey(0), xj)
+    ported = _port_full(t_model, variables, "none", "multiclass")
+    params = dict(ported["params"])
+    if rnn_type == "mamba":
+        for i in range(LAYERS):
+            params[f"mamba_{i}"] = jax.tree_util.tree_map(jnp.asarray, {
+                "norm": {"weight": _np(t_model.norms[i].weight)},
+                "mixer": _port_mixer(t_model.mixers[i]),
+            })
+    else:
+        params["rnn"] = jax.tree_util.tree_map(
+            jnp.asarray, {"lstm": _port_rnn_stack_bidir(t_model.rnn, LAYERS)}
+        )
+    ported["params"] = params
     got = np.asarray(model.apply(ported, xj))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
