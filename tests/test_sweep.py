@@ -186,3 +186,45 @@ def test_real_inprocess_sweep(tmp_path):
     results = r.store.load()
     assert len(results) == 1
     assert os.path.isdir(os.path.join(cfg.sweep.best_model_dir, name))
+
+
+def test_sweep_streaming_trials(tmp_path):
+    """Sweep trials stream out-of-core from a shared clip cache."""
+    import numpy as np
+
+    from vct.core.config import Config
+    from vct.data.clipcache import write_clipcache
+    from vct.sweep.runner import SweepRunner
+    from vct.sweep.store import SweepStore
+
+    cfg = Config().replace(**{
+        "data.processed_data_path": str(tmp_path / "cache"),
+        "data.cache_format": "clipcache",
+        "data.stream": "true",
+        "data.sequence_length": "3",
+        "data.img_height": "8",
+        "data.img_width": "8",
+        "data.max_videos": "5",
+        "model.cnn_backbone": "resnet18",
+        "model.rnn_type": "gru",
+        "model.rnn_input_size": "4",
+        "model.rnn_layer": "1",
+        "model.num_classes": "3",
+        "train.batch_size": "4",
+        "train.epochs": "1",
+        "train.save_model": "false",
+        "sweep.checkpoint_file": str(tmp_path / "sweep.json"),
+        "sweep.f1_threshold": "0.0",
+    })
+    import os
+
+    os.makedirs(cfg.data.processed_data_path, exist_ok=True)
+    rng = np.random.RandomState(0)
+    clips = rng.randint(0, 256, (12, 3, 8, 8, 3), np.uint8)
+    labels = rng.randint(0, 3, 12).astype(np.int64)
+    write_clipcache(cfg.data.data_file, clips, labels)
+    np.save(cfg.data.classes_file, np.asarray(["a", "b", "c"]))
+
+    runner = SweepRunner(cfg, store=SweepStore(cfg.sweep.checkpoint_file))
+    f1, _ = runner.run_training({"model.rnn_type": "gru"}, test_runs=1)
+    assert f1 >= 0.0  # trained + evaluated without materializing the cache
