@@ -169,19 +169,16 @@ class V1RNNCaptioner(nn.Module):
         is <start> then targets[:, :-1] (same schedule as the other
         captioners). With targets=None, free-runs greedily."""
         del deterministic  # the v1 reference decoder applies no dropout
+        enc = self.encode(video)  # one CNN+RNN encode serves both paths
+        b = video.shape[0]
+        start = jnp.full((b, 1), self.start_token, jnp.int32)
         if targets is None:
-            toks = self.greedy_caption(video)
-            b = video.shape[0]
-            start = jnp.full((b, 1), self.start_token, jnp.int32)
-            targets_like = jnp.concatenate([toks[:, : self.max_len - 1]], axis=1)
-            inputs = jnp.concatenate([start, targets_like], axis=1)
+            toks = self._greedy_tokens(enc)
+            inputs = jnp.concatenate([start, toks[:, : self.max_len - 1]], axis=1)
         else:
-            b = video.shape[0]
-            start = jnp.full((b, 1), self.start_token, jnp.int32)
             inputs = jnp.concatenate(
                 [start, targets[:, : self.max_len - 1].astype(jnp.int32)], axis=1
             )
-        enc = self.encode(video)
         emb = self.embed(inputs)
         rnn_out = self._dec_rnn_seq(emb)
         # Per-step query onto the encoder sequence, all steps in one MHA
@@ -189,10 +186,9 @@ class V1RNNCaptioner(nn.Module):
         attn = self.cross_attn(rnn_out, enc, enc)
         return jax.nn.log_softmax(self.fc(attn), axis=-1)
 
-    def greedy_caption(self, video):
-        """Token ids (B, max_len), free-running argmax; one jitted scan."""
-        enc = self.encode(video)
-        b = video.shape[0]
+    def _greedy_tokens(self, enc):
+        """Free-running argmax over a given encoder sequence; one scan."""
+        b = enc.shape[0]
         state0 = self.dec_cell.init_state(b, enc.dtype)
         tok0 = jnp.full((b,), self.start_token, jnp.int32)
 
@@ -207,3 +203,7 @@ class V1RNNCaptioner(nn.Module):
             step, (state0, tok0), None, length=self.max_len
         )
         return jnp.moveaxis(toks, 0, 1)  # (B, max_len)
+
+    def greedy_caption(self, video):
+        """Token ids (B, max_len), free-running argmax; one jitted scan."""
+        return self._greedy_tokens(self.encode(video))

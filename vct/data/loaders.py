@@ -140,23 +140,12 @@ _CC_HEADER_DTYPE = np.dtype([
     ("magic", "<u8"), ("num_clips", "<u8"), ("t", "<u8"), ("h", "<u8"),
     ("w", "<u8"), ("c", "<u8"), ("label_kind", "<u8"), ("label_dim", "<u8"),
 ])
-_CC_MAGIC = None  # resolved lazily from the native writer's constant
+# Must equal kMagic in native/clipcache.cpp ("VCTC1"); the round-trip test
+# (native writer -> ClipCacheMapLoader) fails if the two ever diverge.
+_CC_MAGIC = 0x5643544331
 
 
 def _cc_magic() -> int:
-    global _CC_MAGIC
-    if _CC_MAGIC is None:
-        # single source of truth: the constant in native/clipcache.cpp
-        src = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "native", "clipcache.cpp",
-        )
-        import re
-
-        m = re.search(r"kMagic\s*=\s*(0x[0-9a-fA-F]+|\d+)", open(src).read())
-        if not m:
-            raise RuntimeError("could not resolve clipcache magic constant")
-        _CC_MAGIC = int(m.group(1), 0)
     return _CC_MAGIC
 
 

@@ -111,13 +111,18 @@ class _Porter:
             self._check(f"{torch_prefix}.bias", b.shape, node["bias"].shape)
             node["bias"] = b
 
+    def _put(self, node, key, torch_name):
+        value = self.take(torch_name)
+        self._check(torch_name, value.shape, node[key].shape)
+        node[key] = value
+
     def linear(self, flax_path: str, torch_prefix: str, bias: bool = True):
         node = _descend(self.params, flax_path)
         kernel = np.transpose(self.take(f"{torch_prefix}.weight"))
         self._check(torch_prefix, kernel.shape, node["kernel"].shape)
         node["kernel"] = kernel
         if bias:
-            node["bias"] = self.take(f"{torch_prefix}.bias")
+            self._put(node, "bias", f"{torch_prefix}.bias")
 
     def bn(self, flax_path: str, torch_prefix: str):
         pnode = _descend(self.params, flax_path)
@@ -127,12 +132,10 @@ class _Porter:
         if "scale" not in pnode and "BatchNorm_0" in pnode:
             pnode = pnode["BatchNorm_0"]
             snode = snode["BatchNorm_0"]
-        scale = self.take(f"{torch_prefix}.weight")
-        self._check(torch_prefix, scale.shape, pnode["scale"].shape)
-        pnode["scale"] = scale
-        pnode["bias"] = self.take(f"{torch_prefix}.bias")
-        snode["mean"] = self.take(f"{torch_prefix}.running_mean")
-        snode["var"] = self.take(f"{torch_prefix}.running_var")
+        self._put(pnode, "scale", f"{torch_prefix}.weight")
+        self._put(pnode, "bias", f"{torch_prefix}.bias")
+        self._put(snode, "mean", f"{torch_prefix}.running_mean")
+        self._put(snode, "var", f"{torch_prefix}.running_var")
         self.consumed.add(f"{torch_prefix}.num_batches_tracked")
 
     def finish(self) -> dict:

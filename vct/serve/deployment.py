@@ -173,6 +173,12 @@ _DEVICE_METHODS = {
     "sad": "sad",
     "optical_flow": "flow",
     "optiflow": "flow",
+    # The *_most_unique variants score neighbor transitions; on device they
+    # map to the plain transition-score selectors (the same degradation the
+    # host flow-proxy path documents) so every SAMPLERS name stays valid
+    # under --device_sampling.
+    "ssim_most_unique": "ssim",
+    "optiflow_most_unique": "flow",
 }
 
 

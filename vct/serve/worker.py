@@ -68,12 +68,20 @@ class Worker:
             self.model, self.variables, clips, names, self.class_names
         )
         posted = post_results(results, self.cfg.backend_url)
-        # Delete only videos whose result the backend confirmed; failures
-        # stay on disk and retry via the _already_classified/leftover path.
+        # Delete videos whose result the backend confirmed. Transient
+        # failures (valid URL, backend down/5xx) stay on disk and retry via
+        # the _already_classified/leftover path; files whose name can never
+        # map back to a URL are unconfirmable — keeping those would re-run
+        # inference on them for every future message, so they are removed
+        # after their one classification (the reference's behavior).
+        from vct.serve.deployment import construct_url
+
         for name in names:
-            if not posted.get(name):
+            if not posted.get(name) and construct_url(name) is not None:
                 print(f"Keeping {name} for retry (result not confirmed)")
                 continue
+            if not posted.get(name):
+                print(f"Dropping {name}: no reconstructable URL to confirm")
             path = os.path.join(self.cfg.video_dir, name)
             try:
                 os.remove(path)

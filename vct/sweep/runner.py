@@ -122,28 +122,35 @@ class SweepRunner:
         )
         train_loader = open_cache_loader(cfg, train_idx)
         test_loader = open_cache_loader(cfg, test_idx)
-        weights = None
-        if cfg.train.weighted_loss:
-            weights = compute_class_weights(
-                train_loader.labels, cfg.model.num_classes, cfg.model.classif_mode
-            )
-        trainer = Trainer(cfg, class_names, class_weights=weights)
-        sample_x, _, _ = next(iter(train_loader.epoch()))
-        if sample_x.dtype == np.uint8:
-            sample_x = sample_x.astype(np.float32) / 255.0
-        state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), sample_x)
-        state, run = trainer.fit(state, train_loader)
-        if cfg.train.save_model:
-            save_checkpoint(
-                cfg.train.model_path,
-                {
-                    "params": jax.device_get(state.params),
-                    **jax.device_get(state.extra_vars),
-                },
-                cfg,
-                class_names,
-            )
-        return trainer.evaluate(state, test_loader, run=run)
+        try:
+            weights = None
+            if cfg.train.weighted_loss:
+                weights = compute_class_weights(
+                    train_loader.labels, cfg.model.num_classes,
+                    cfg.model.classif_mode,
+                )
+            trainer = Trainer(cfg, class_names, class_weights=weights)
+            sample_x, _, _ = next(iter(train_loader.epoch()))
+            if sample_x.dtype == np.uint8:
+                sample_x = sample_x.astype(np.float32) / 255.0
+            state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), sample_x)
+            state, run = trainer.fit(state, train_loader)
+            if cfg.train.save_model:
+                save_checkpoint(
+                    cfg.train.model_path,
+                    {
+                        "params": jax.device_get(state.params),
+                        **jax.device_get(state.extra_vars),
+                    },
+                    cfg,
+                    class_names,
+                )
+            return trainer.evaluate(state, test_loader, run=run)
+        finally:
+            # Sweeps run many trials in one process: leaked h5py handles /
+            # memmaps on the shared cache would accumulate per trial.
+            train_loader.close()
+            test_loader.close()
 
     def _train_subprocess(self, cfg: Config) -> RunMetrics:
         args = [sys.executable, "-m", "vct.train"]

@@ -64,6 +64,11 @@ def _main_stream(cfg: Config) -> int:
     train_idx, test_idx = split_indices(n, cfg.data.val_fraction, cfg.data.split_seed)
     train_loader = open_cache_loader(cfg, train_idx)
     test_loader = open_cache_loader(cfg, test_idx)
+    import contextlib
+
+    ctx = contextlib.ExitStack()
+    ctx.callback(train_loader.close)
+    ctx.callback(test_loader.close)
     print(f"Train: {len(train_idx)} clips, Test: {len(test_idx)} clips "
           f"(streaming from {cfg.data.data_file}), classes: {class_names}")
 
@@ -88,7 +93,8 @@ def _main_stream(cfg: Config) -> int:
             class_names,
         )
         print(f"Model saved to {path}")
-    trainer.evaluate(state, test_loader, run=run)
+    with ctx:
+        trainer.evaluate(state, test_loader, run=run)
     return 0
 
 

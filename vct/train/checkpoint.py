@@ -64,6 +64,18 @@ def _atomic_json_write(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def _recover_checkpoint_dir(final_path: str) -> None:
+    """Promote a survivor if a crash landed between _atomic_tree_save's two
+    renames (final missing, while .old — and possibly the complete .tmp —
+    exist). Prefers .tmp: it is only ever renamed away AFTER being fully
+    written, and the .old+.tmp combination can only arise post-save."""
+    if os.path.exists(final_path):
+        return
+    tmp_path, old_path = final_path + ".tmp", final_path + ".old"
+    if os.path.exists(old_path):
+        os.rename(tmp_path if os.path.exists(tmp_path) else old_path, final_path)
+
+
 def save_checkpoint(
     path: str,
     variables: Dict[str, Any],
@@ -120,6 +132,7 @@ def load_train_state(path: str, state) -> Tuple[Any, int]:
     manifest_path = os.path.join(path, "train_manifest.json")
     if not os.path.exists(manifest_path):
         return state, 0
+    _recover_checkpoint_dir(os.path.join(path, "train_state"))
     if not os.path.exists(os.path.join(path, "train_state")):
         # Stale manifest without a state (interrupted save): start fresh
         # instead of crashing the resume.
@@ -156,6 +169,7 @@ def load_train_state(path: str, state) -> Tuple[Any, int]:
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Config, List[str], dict]:
     """Returns (variables, config, class_names, manifest)."""
     path = os.path.abspath(path)
+    _recover_checkpoint_dir(os.path.join(path, _PARAMS))
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
     cfg = Config.from_dict(manifest["config"])
