@@ -247,3 +247,71 @@ def test_auc_tie_handling_matches_sklearn():
     want = sklearn_metrics.roc_auc_score(labels, probs[:, 1])
     # macro over 2 complementary binary columns == the binary AUC
     assert ours == pytest.approx(want, abs=1e-9)
+
+
+class TestValPlateau:
+    """Per-epoch validation + ReduceLROnPlateau (lrcn/mamba.py:374-420,474-476)."""
+
+    def _cfg(self, tmp_path, **over):
+        base = {
+            "model.cnn_backbone": "resnet18",
+            "model.rnn_type": "gru",
+            "model.rnn_input_size": "4",
+            "model.rnn_layer": "1",
+            "model.num_classes": "3",
+            "data.sequence_length": "3",
+            "data.img_height": "8",
+            "data.img_width": "8",
+            "train.batch_size": "4",
+            "train.save_model": "false",
+            "train.model_path": str(tmp_path / "m"),
+        }
+        base.update(over)
+        from vct.core.config import Config
+
+        return Config().replace(**base)
+
+    def _data(self, n=12, seed=0):
+        rng = np.random.RandomState(seed)
+        x = rng.rand(n, 3, 8, 8, 3).astype(np.float32)
+        y = rng.randint(0, 3, n).astype(np.int64)
+        return x, y
+
+    def test_val_loss_recorded_and_drives_patience(self, tmp_path):
+        x, y = self._data()
+        xv, yv = self._data(6, seed=1)
+        cfg = self._cfg(tmp_path, **{"train.epochs": "3",
+                                     "train.early_stop_patience": "1"})
+        tr = Trainer(cfg, ["a", "b", "c"])
+        s = tr.init_state(jax.random.PRNGKey(0), x)
+        s, run = tr.fit(s, x, y, log=False, val=(xv, yv))
+        assert len(run.val_losses) == len(run.epoch_losses)
+        assert all(np.isfinite(v) for v in run.val_losses)
+
+    def test_plateau_reduces_learning_rate(self, tmp_path):
+        import optax.tree_utils as otu
+
+        x, y = self._data()
+        # constant val set + patience 1 on a tiny lr: val loss will plateau
+        cfg = self._cfg(tmp_path, **{
+            "train.epochs": "4",
+            "train.learning_rate": "1e-12",  # no real progress -> plateau
+            "train.lr_plateau_factor": "0.1",
+            "train.lr_plateau_patience": "1",
+        })
+        tr = Trainer(cfg, ["a", "b", "c"])
+        s = tr.init_state(jax.random.PRNGKey(0), x)
+        lr0 = float(otu.tree_get(s.opt_state, "learning_rate"))
+        s, run = tr.fit(s, x, y, log=False, val=(x, y))
+        lr1 = float(otu.tree_get(s.opt_state, "learning_rate"))
+        assert lr1 < lr0  # reduced at least once
+        assert lr1 == pytest.approx(lr0 * 0.1, rel=1e-3) or lr1 < lr0 * 0.1
+
+    def test_lr_in_state_trains_identically(self, tmp_path):
+        """inject_hyperparams must not change training numerics."""
+        x, y = self._data()
+        cfg = self._cfg(tmp_path, **{"train.epochs": "2"})
+        tr = Trainer(cfg, ["a", "b", "c"])
+        s = tr.init_state(jax.random.PRNGKey(0), x)
+        s, run = tr.fit(s, x, y, log=False)
+        assert run.epoch_losses[1] < run.epoch_losses[0] * 1.5  # sane training

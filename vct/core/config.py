@@ -163,6 +163,11 @@ class TrainConfig:
     weighted_loss: bool = False
     early_stop: float = 0.0  # stop when epoch loss < early_stop (0 = off)
     early_stop_patience: int = 0  # patience-based variant (videomamba.py:632-658)
+    # ReduceLROnPlateau (the VideoMambaTrainer recipe, lrcn/mamba.py:474-476
+    # factor 0.1 / patience 5, stepped on val loss when fit gets val data,
+    # else on train loss). factor 0 = scheduler off.
+    lr_plateau_factor: float = 0.0
+    lr_plateau_patience: int = 5
     seed: int = 42
     model_path: str = "/tmp/vct_model"
     save_model: bool = True

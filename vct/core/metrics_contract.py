@@ -32,6 +32,7 @@ class RunMetrics:
     per_class: Dict[str, Dict[str, float]] = field(default_factory=dict)
     epoch_losses: List[float] = field(default_factory=list)
     epoch_accs: List[float] = field(default_factory=list)
+    val_losses: List[float] = field(default_factory=list)
 
     def to_dict(self) -> dict:
         return {

@@ -100,6 +100,18 @@ def _param_label_tree(params, finetune: bool, freeze_until: str = ""):
     return labels
 
 
+def _scale_learning_rate(state: TrainState, factor: float):
+    """Multiply the injected learning_rate hyperparameter in the optimizer
+    state by ``factor`` (ReduceLROnPlateau's lr update, host-side between
+    epochs — no retrace, the lr is state not a compile-time constant)."""
+    import optax.tree_utils as otu
+
+    current = otu.tree_get(state.opt_state, "learning_rate")
+    new_lr = jnp.asarray(current) * factor
+    opt_state = otu.tree_set(state.opt_state, learning_rate=new_lr)
+    return state.replace(opt_state=opt_state), float(new_lr)
+
+
 def count_parameters(
     params, finetune: bool = False, freeze_until: str = ""
 ) -> Dict[str, int]:
@@ -150,6 +162,7 @@ class Trainer:
         self._tx = self._make_optimizer()
         self._train_step = None
         self._eval_step = None
+        self._val_step = None
         # Batches must divide evenly over the mesh data axis; pad with
         # mask-0 rows up to the next multiple (loss/metrics ignore padding).
         data_size = self.mesh.shape["data"]
@@ -167,12 +180,21 @@ class Trainer:
     # ------------------------------------------------------------------
     def _make_optimizer(self):
         t = self.cfg.train
+        # inject_hyperparams puts learning_rate into the optimizer STATE, so
+        # the plateau scheduler can lower it between epochs (host-side
+        # tree_set) without retracing the compiled step.
         if t.optimizer == "adam":
-            base = optax.adam(t.learning_rate)
+            base = optax.inject_hyperparams(optax.adam)(
+                learning_rate=t.learning_rate
+            )
         elif t.optimizer == "adamw":
-            base = optax.adamw(t.learning_rate, weight_decay=t.weight_decay)
+            base = optax.inject_hyperparams(optax.adamw)(
+                learning_rate=t.learning_rate, weight_decay=t.weight_decay
+            )
         elif t.optimizer == "sgd":
-            base = optax.sgd(t.learning_rate)
+            base = optax.inject_hyperparams(optax.sgd)(
+                learning_rate=t.learning_rate
+            )
         else:
             raise KeyError(f"Unknown optimizer: {t.optimizer}")
         chain = []
@@ -346,18 +368,32 @@ class Trainer:
         x,
         y: Optional[np.ndarray] = None,
         log: bool = True,
+        val=None,
     ) -> Tuple[TrainState, RunMetrics]:
         """Epoch loop with the reference's stdout contract.
 
         ``x`` is either an in-memory array (with labels ``y``) or any batch
         loader (``vct.data.loaders``) — the out-of-core HDF5/clipcache
         streams and the in-RAM path share this one engine (resume, both
-        early stops, history JSON, profiling, log_every)."""
+        early stops, history JSON, profiling, log_every).
+
+        ``val``: optional held-out data — an (x, y) tuple or a loader. When
+        given, a validation loss is computed each epoch and drives BOTH the
+        patience early stop and the ReduceLROnPlateau scheduler
+        (train.lr_plateau_factor), the VideoMambaTrainer recipe
+        (lrcn/mamba.py:374-420); without it, both monitor the train loss."""
         from vct.data.loaders import as_loader
         from vct.utils.profiling import StepTimer, device_trace, write_history
 
         t = self.cfg.train
         loader = as_loader(x, y, t.batch_size)
+        val_loader = None
+        if val is not None:
+            val_loader = (
+                as_loader(val[0], val[1], t.batch_size)
+                if isinstance(val, tuple)
+                else as_loader(val, None, t.batch_size)
+            )
         if self._train_step is None:
             self._train_step = self._build_train_step()
         step_fn = self._train_step
@@ -369,6 +405,7 @@ class Trainer:
         start = time.time()
         stop = False
         best_loss, bad_epochs = float("inf"), 0
+        plateau_best, plateau_bad = float("inf"), 0
         start_epoch = 0
         if t.resume:
             from vct.train.checkpoint import load_train_state, save_train_state
@@ -408,17 +445,37 @@ class Trainer:
             run.epoch_accs.append(epoch_acc)
             if log:
                 print_epoch_line(epoch, t.epochs, epoch_loss, epoch_acc)
+            monitored = epoch_loss
+            if val_loader is not None:
+                monitored = self._val_loss(state, val_loader, shard)
+                run.val_losses.append(monitored)
+                if log:
+                    print(f"Validation Loss: {monitored:.4f}")
             # loss-threshold early stop (all_config.py:30 EARLY_STOP)
             if t.early_stop and epoch_loss < t.early_stop:
                 stop = True
-            # patience-based early stop (lrcn/videomamba.py:632-658)
+            # patience-based early stop (lrcn/videomamba.py:632-658; on val
+            # loss when a val set is given, mamba.py:393-405)
             if t.early_stop_patience:
-                if epoch_loss < best_loss - 1e-6:
-                    best_loss, bad_epochs = epoch_loss, 0
+                if monitored < best_loss - 1e-6:
+                    best_loss, bad_epochs = monitored, 0
                 else:
                     bad_epochs += 1
                     if bad_epochs >= t.early_stop_patience:
                         stop = True
+            # ReduceLROnPlateau (mamba.py:474-476: factor 0.1, patience 5)
+            if t.lr_plateau_factor:
+                if monitored < plateau_best - 1e-6:
+                    plateau_best, plateau_bad = monitored, 0
+                else:
+                    plateau_bad += 1
+                    if plateau_bad >= t.lr_plateau_patience:
+                        state, new_lr = _scale_learning_rate(
+                            state, t.lr_plateau_factor
+                        )
+                        plateau_bad = 0
+                        if log:
+                            print(f"Reducing learning rate to {new_lr:.3e}")
             if t.resume:
                 save_train_state(
                     t.model_path, state, self.cfg, self.class_names, epoch + 1
@@ -443,12 +500,38 @@ class Trainer:
                 {
                     "train_loss": run.epoch_losses,
                     "train_acc": run.epoch_accs,
+                    "val_loss": run.val_losses,
                     "training_duration": run.training_duration,
                     "step_times": timer.summary(),
                     "config": self.cfg.to_dict(),
                 },
             )
         return state, run
+
+    # ------------------------------------------------------------------
+    def _build_val_step(self):
+        model = self.model
+
+        def val_step(params, extra_vars, xb, yb, mask):
+            logits = model.apply({"params": params, **extra_vars}, xb)
+            loss, _ = self._loss_fn(logits, yb, mask)
+            return loss
+
+        return self._with_mesh(jax.jit(val_step))
+
+    def _val_loss(self, state: TrainState, val_loader, shard) -> float:
+        """Mean of batch losses over the val set (the reference's
+        total/len(loader) aggregation, mamba.py:316-324)."""
+        if self._val_step is None:
+            self._val_step = self._build_val_step()
+        losses = []
+        for xb, yb, mask in val_loader.epoch():
+            xb, yb, mask = self._pad_batch(xb, yb, mask)
+            xd, yd, md = self._put_batch(xb, yb, mask, shard)
+            losses.append(
+                float(self._val_step(state.params, state.extra_vars, xd, yd, md))
+            )
+        return float(np.mean(losses)) if losses else 0.0
 
     # ------------------------------------------------------------------
     def fit_stream(self, state: TrainState, loader, log: bool = True):
