@@ -1,0 +1,169 @@
+// Native video decoder: libavformat/libavcodec demux+decode with frame
+// threading, libswscale resize straight to RGB24 at the target size.
+//
+// The reference decodes with a serial Python cv2 loop
+// (loader_data.py:152-166); SURVEY.md §7 hard-part 4 flags host decode as
+// the real bottleneck of the 500 clips/s pipeline. This decoder removes the
+// per-frame Python round trip: one vd_read() call fills a caller buffer
+// with up to max_frames resized RGB frames, the GIL released the whole time
+// (ctypes binding in vct/data/videodec.py).
+//
+// C API (all exported with C linkage):
+//   vd_open(path, out_w, out_h) -> handle | NULL   (0x0 = source size)
+//   vd_dims(handle, int64[2]) -> {out_h, out_w}
+//   vd_read(handle, out, max_frames) -> frames written (0 = EOF, <0 = error)
+//   vd_close(handle)
+//
+// Build: g++ -O2 -shared -fPIC videodec.cpp -lavformat -lavcodec -lavutil
+//        -lswscale -o libvideodec.so
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  int stream_idx = -1;
+  int out_w = 0, out_h = 0;
+  bool eof_sent = false;   // drain packet delivered to the codec
+  bool finished = false;   // codec fully drained
+};
+
+void destroy(Decoder* d) {
+  if (!d) return;
+  if (d->sws) sws_freeContext(d->sws);
+  if (d->frame) av_frame_free(&d->frame);
+  if (d->pkt) av_packet_free(&d->pkt);
+  if (d->codec) avcodec_free_context(&d->codec);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  delete d;
+}
+
+// Scale/convert the decoded frame into out (RGB24, out_h x out_w).
+bool emit(Decoder* d, uint8_t* out) {
+  if (!d->sws) {
+    d->sws = sws_getContext(
+        d->frame->width, d->frame->height, (AVPixelFormat)d->frame->format,
+        d->out_w, d->out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+        nullptr);
+    if (!d->sws) return false;
+  }
+  uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
+  int dst_stride[4] = {d->out_w * 3, 0, 0, 0};
+  sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, d->frame->height,
+            dst, dst_stride);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vd_open(const char* path, int out_w, int out_h) {
+  auto* d = new Decoder();
+  d->out_w = out_w;
+  d->out_h = out_h;
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    destroy(d);
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    destroy(d);
+    return nullptr;
+  }
+  const AVCodec* dec = nullptr;
+  d->stream_idx =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (d->stream_idx < 0 || !dec) {
+    destroy(d);
+    return nullptr;
+  }
+  d->codec = avcodec_alloc_context3(dec);
+  if (!d->codec ||
+      avcodec_parameters_to_context(
+          d->codec, d->fmt->streams[d->stream_idx]->codecpar) < 0) {
+    destroy(d);
+    return nullptr;
+  }
+  d->codec->thread_count = 0;  // auto frame/slice threading
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) {
+    destroy(d);
+    return nullptr;
+  }
+  if (d->out_w <= 0 || d->out_h <= 0) {
+    // Decode at source size: swscale then only converts the pixel format,
+    // which is bit-identical to cv2's decode (the caller resizes).
+    d->out_w = d->codec->width;
+    d->out_h = d->codec->height;
+  }
+  d->pkt = av_packet_alloc();
+  d->frame = av_frame_alloc();
+  if (!d->pkt || !d->frame || d->out_w <= 0 || d->out_h <= 0) {
+    destroy(d);
+    return nullptr;
+  }
+  return d;
+}
+
+void vd_dims(void* handle, int64_t* out) {  // {out_h, out_w}
+  auto* d = (Decoder*)handle;
+  out[0] = d->out_h;
+  out[1] = d->out_w;
+}
+
+// Fills `out` with up to max_frames RGB24 frames (out_h*out_w*3 bytes each,
+// consecutive). Returns frames written; 0 at end of stream; -1 on error.
+int64_t vd_read(void* handle, uint8_t* out, int64_t max_frames) {
+  auto* d = (Decoder*)handle;
+  if (!d || d->finished) return d && d->finished ? 0 : -1;
+  const size_t frame_bytes = (size_t)d->out_w * d->out_h * 3;
+  int64_t n = 0;
+  while (n < max_frames) {
+    int rc = avcodec_receive_frame(d->codec, d->frame);
+    if (rc == 0) {
+      if (!emit(d, out + n * frame_bytes)) return -1;
+      av_frame_unref(d->frame);
+      ++n;
+      continue;
+    }
+    if (rc == AVERROR_EOF) {
+      d->finished = true;
+      break;
+    }
+    if (rc != AVERROR(EAGAIN)) return -1;
+    // Codec wants input: feed the next video packet (or the drain packet).
+    if (d->eof_sent) continue;  // still draining
+    while (true) {
+      int prc = av_read_frame(d->fmt, d->pkt);
+      if (prc < 0) {
+        avcodec_send_packet(d->codec, nullptr);  // start drain
+        d->eof_sent = true;
+        break;
+      }
+      if (d->pkt->stream_index == d->stream_idx) {
+        int src = avcodec_send_packet(d->codec, d->pkt);
+        av_packet_unref(d->pkt);
+        if (src < 0 && src != AVERROR(EAGAIN)) return -1;
+        break;
+      }
+      av_packet_unref(d->pkt);
+    }
+  }
+  return n;
+}
+
+void vd_close(void* handle) { destroy((Decoder*)handle); }
+
+}  // extern "C"

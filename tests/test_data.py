@@ -252,3 +252,96 @@ class TestDeviceSamplingBuckets:
 
         with pytest.raises(KeyError, match="Unknown sampling method"):
             _load_with_device_sampling(str(tmp_path), "nonsense", 6, 8, 8)
+
+
+class TestNativeDecoder:
+    """C++ ffmpeg decoder (native/videodec.cpp): the cv2-free decode path."""
+
+    @pytest.fixture()
+    def video(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        path = str(tmp_path / "v.mp4")
+        rng = np.random.RandomState(0)
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (48, 40))
+        for _ in range(17):
+            w.write(rng.randint(0, 256, (40, 48, 3), np.uint8))
+        w.release()
+        return path
+
+    def test_bit_exact_vs_cv2(self, video):
+        from vct.data.video import decode_video
+        from vct.data.videodec import decode_video_native, is_available
+
+        if not is_available():
+            pytest.skip("native decoder did not build")
+        a = np.stack(decode_video(video, 24, 24))
+        b = np.stack(decode_video_native(video, 24, 24))
+        np.testing.assert_array_equal(a, b)
+        # decode-at-source is bit-exact too
+        a = np.stack(decode_video(video, 40, 48))
+        b = np.stack(decode_video_native(video, 40, 48))
+        np.testing.assert_array_equal(a, b)
+
+    def test_max_frames_and_swscale_mode(self, video):
+        from vct.data.videodec import decode_video_native, is_available
+
+        if not is_available():
+            pytest.skip("native decoder did not build")
+        capped = decode_video_native(video, 24, 24, max_frames=5)
+        assert len(capped) == 5
+        sw = decode_video_native(video, 24, 24, resize="native")
+        assert len(sw) == 17 and sw[0].shape == (24, 24, 3)
+
+    def test_decode_video_dispatch(self, video):
+        from vct.data.video import decode_video
+        from vct.data.videodec import is_available
+
+        if not is_available():
+            pytest.skip("native decoder did not build")
+        a = np.stack(decode_video(video, 24, 24))
+        for dec in ("native", "auto"):
+            np.testing.assert_array_equal(
+                a, np.stack(decode_video(video, 24, 24, decoder=dec))
+            )
+
+    def test_open_failure(self, tmp_path):
+        from vct.data.videodec import decode_video_native, is_available
+
+        if not is_available():
+            pytest.skip("native decoder did not build")
+        bad = tmp_path / "bad.mp4"
+        bad.write_bytes(b"not a video")
+        with pytest.raises(IOError):
+            decode_video_native(str(bad), 24, 24)
+
+    def test_ingest_with_native_decoder(self, tmp_path, video):
+        """Cache build end-to-end with data.decoder=native equals cv2."""
+        import os
+        import shutil
+
+        from vct.core.config import Config
+        from vct.data.ingest import build_dataset_cache, load_dataset_cache
+        from vct.data.videodec import is_available
+
+        if not is_available():
+            pytest.skip("native decoder did not build")
+        root = tmp_path / "ds" / "classA"
+        os.makedirs(root)
+        shutil.copy(video, root / "a.mp4")
+
+        def build(dec, out):
+            cfg = Config().replace(**{
+                "data.dataset_path": str(tmp_path / "ds"),
+                "data.processed_data_path": str(tmp_path / out),
+                "data.sequence_length": "4",
+                "data.img_height": "24", "data.img_width": "24",
+                "data.decoder": dec,
+                "model.classif_mode": "multiclass",
+            })
+            build_dataset_cache(cfg)
+            return load_dataset_cache(cfg)
+
+        x1, y1, _ = build("cv2", "c1")
+        x2, y2, _ = build("native", "c2")
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)

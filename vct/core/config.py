@@ -54,6 +54,11 @@ class DataConfig:
     max_videos: int = 1000
     # Host decode workers feeding the device preprocessing kernel.
     decode_workers: int = 4
+    # Decode backend: cv2 (reference-exact) | native (ffmpeg C++ decoder,
+    # GIL-free, cv2-exact pixels via source-size decode + cv2 resize) |
+    # auto (native when the library builds, else cv2).
+    decoder: str = "cv2"
+
     prefetch_depth: int = 2
     # Cache backend: hdf5 (reference parity, float32) | clipcache (native
     # uint8 mmap store + threaded prefetch loader, ~170x faster shuffled

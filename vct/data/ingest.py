@@ -59,7 +59,7 @@ def build_dataset_cache(cfg: Config, path: Optional[str] = None) -> Tuple[str, s
     multiclass = cfg.model.classif_mode == "multiclass"
     os.makedirs(d.processed_data_path, exist_ok=True)
 
-    decoder = ParallelDecoder(d.decode_workers)
+    decoder = ParallelDecoder(d.decode_workers, d.decoder)
     total = 0
     with h5py.File(d.data_file, "w") as hf:
         hf.create_dataset(
@@ -127,7 +127,7 @@ def build_clipcache(cfg: Config, path: Optional[str] = None) -> str:
     num_classes = len(classes)
     multiclass = cfg.model.classif_mode == "multiclass"
     os.makedirs(d.processed_data_path, exist_ok=True)
-    decoder = ParallelDecoder(d.decode_workers)
+    decoder = ParallelDecoder(d.decode_workers, d.decoder)
 
     total = 0
     with ClipCacheWriter(

@@ -28,8 +28,33 @@ def decode_video(
     width: int,
     max_frames: Optional[int] = None,
     to_rgb: bool = True,
+    decoder: str = "cv2",
 ) -> List[np.ndarray]:
-    """Decode a video into a list of resized HxWx3 uint8 RGB frames."""
+    """Decode a video into a list of resized HxWx3 uint8 RGB frames.
+
+    decoder:
+      * "cv2" (default): the reference's decode path — and the fastest here
+        (cv2's ffmpeg wrapper measured faster than a hand-rolled
+        libavcodec+swscale loop; docs/performance.md).
+      * "native": the C++ ffmpeg decoder (vct.data.videodec) — exists so
+        deployments can drop the opencv dependency entirely. Pixels are
+        cv2-bit-exact when cv2 is present (source-size decode + cv2 resize),
+        swscale-bilinear otherwise.
+      * "auto": cv2 when importable, else the native decoder."""
+    if to_rgb and decoder != "cv2":
+        try:
+            import cv2  # noqa: F401
+
+            has_cv2 = True
+        except ImportError:
+            has_cv2 = False
+        if decoder == "native" or not has_cv2:
+            from vct.data import videodec
+
+            return videodec.decode_video_native(
+                path, height, width, max_frames,
+                resize="cv2" if has_cv2 else "native",
+            )
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -55,6 +80,7 @@ def decode_and_sample(
     sequence_length: int,
     sampling_method: str = "uniform",
     normalize: bool = True,
+    decoder: str = "cv2",
 ) -> np.ndarray:
     """Full per-clip host pipeline: decode -> sample -> pad -> (T,H,W,3).
 
@@ -67,7 +93,7 @@ def decode_and_sample(
     # Uniform sampling only needs the first T*interval frames when the
     # clip is long, but interval depends on total length — decode all for
     # parity with the reference's read-everything loop.
-    frames = decode_video(path, height, width)
+    frames = decode_video(path, height, width, decoder=decoder)
     if not frames:
         raise ValueError(f"No frames found in {path}")
     frames = sample_frames(frames, sequence_length, sampling_method)
@@ -78,9 +104,9 @@ def decode_and_sample(
 
 
 def _decode_one(args) -> Tuple[str, Optional[np.ndarray], str]:
-    path, h, w, t, method, normalize = args
+    path, h, w, t, method, normalize, decoder = args
     try:
-        return path, decode_and_sample(path, h, w, t, method, normalize), ""
+        return path, decode_and_sample(path, h, w, t, method, normalize, decoder), ""
     except Exception as e:  # defensive-skip style of the reference
         return path, None, str(e)
 
@@ -88,8 +114,9 @@ def _decode_one(args) -> Tuple[str, Optional[np.ndarray], str]:
 class ParallelDecoder:
     """Process-pool decode with bounded in-flight prefetch."""
 
-    def __init__(self, workers: int = 4):
+    def __init__(self, workers: int = 4, decoder: str = "cv2"):
         self.workers = max(1, workers)
+        self.decoder = decoder
 
     def decode_many(
         self,
@@ -103,7 +130,8 @@ class ParallelDecoder:
     ):
         """Yields (path, clip) in input order, skipping failed clips."""
         jobs = [
-            (p, height, width, sequence_length, sampling_method, normalize)
+            (p, height, width, sequence_length, sampling_method, normalize,
+             self.decoder)
             for p in paths
         ]
 

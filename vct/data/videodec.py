@@ -1,0 +1,128 @@
+"""Python bindings for the native video decoder (``native/videodec.cpp``).
+
+ffmpeg demux + threaded decode + pixel-format conversion with the GIL
+released for the whole read — the native-runtime answer to SURVEY.md §7
+hard-part 4 (the reference's serial per-frame cv2 loop is the pipeline
+bottleneck; ``loader_data.py:152-166``).
+
+Two modes:
+  * ``resize="cv2"`` (default): decode at SOURCE size natively (bit-identical
+    to cv2's decode — verified in tests) and resize each frame with
+    cv2.INTER_LINEAR, preserving exact parity with the cv2 ingest path.
+  * ``resize="native"``: swscale bilinear resize inside the decoder — fastest,
+    pixel values differ slightly from cv2.INTER_LINEAR.
+
+Selected via ``data.decoder`` = "cv2" (default) | "native" | "auto" (native
+when the library builds, cv2 otherwise).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["build_library", "is_available", "decode_video_native"]
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "videodec.cpp",
+)
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libvideodec.so")
+_lib = None
+_available: Optional[bool] = None
+
+
+def build_library(force: bool = False) -> str:
+    if force or not os.path.exists(_LIB_PATH) or (
+        os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+    ):
+        cmd = [
+            "g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
+            "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
+            "-o", _LIB_PATH,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(build_library())
+    p, i64 = ctypes.c_void_p, ctypes.c_int64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.vd_open.restype = p
+    lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.vd_dims.restype = None
+    lib.vd_dims.argtypes = [p, ctypes.POINTER(i64)]
+    lib.vd_read.restype = i64
+    lib.vd_read.argtypes = [p, u8p, i64]
+    lib.vd_close.restype = None
+    lib.vd_close.argtypes = [p]
+    _lib = lib
+    return lib
+
+
+def is_available() -> bool:
+    """True when the native decoder builds and links on this machine."""
+    global _available
+    if _available is None:
+        try:
+            _load()
+            _available = True
+        except Exception:
+            _available = False
+    return _available
+
+
+def decode_video_native(
+    path: str,
+    height: int,
+    width: int,
+    max_frames: Optional[int] = None,
+    chunk: int = 64,
+    resize: str = "cv2",
+) -> List[np.ndarray]:
+    """Decode into a list of (height, width, 3) uint8 RGB frames (same
+    contract as ``vct.data.video.decode_video``)."""
+    lib = _load()
+    native_resize = resize == "native"
+    handle = lib.vd_open(
+        path.encode(), width if native_resize else 0,
+        height if native_resize else 0,
+    )
+    if not handle:
+        raise IOError(f"Could not open video file {path}")
+    frames: List[np.ndarray] = []
+    try:
+        dims = (ctypes.c_int64 * 2)()
+        lib.vd_dims(handle, dims)
+        src_h, src_w = int(dims[0]), int(dims[1])
+        buf = np.empty((chunk, src_h, src_w, 3), np.uint8)
+        buf_p = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        needs_resize = not native_resize and (src_h, src_w) != (height, width)
+        if needs_resize:
+            import cv2
+        while max_frames is None or len(frames) < max_frames:
+            want = chunk
+            if max_frames is not None:
+                want = min(chunk, max_frames - len(frames))
+            n = lib.vd_read(handle, buf_p, want)
+            if n < 0:
+                raise IOError(f"Decode error in {path} after {len(frames)} frames")
+            if n == 0:
+                break
+            for i in range(n):
+                frame = buf[i]
+                if needs_resize:
+                    frame = cv2.resize(frame, (width, height))
+                frames.append(np.array(frame))
+    finally:
+        lib.vd_close(handle)
+    return frames
