@@ -103,12 +103,13 @@ def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32,
 
 
 def classify_and_display(
-    model, variables, clips, video_names: List[str], class_names: List[str]
+    model, variables, clips, video_names: List[str], class_names: List[str],
+    mesh=None,
 ) -> List[dict]:
     """Reference output contract (deployment.py:61-101)."""
     results = []
     label_counter = Counter()
-    probs = classify_videos(model, variables, clips)
+    probs = classify_videos(model, variables, clips, mesh=mesh)
     for idx, name in enumerate(video_names):
         order = np.argsort(-probs[idx])
         sorted_labels = [class_names[i] for i in order]
@@ -266,6 +267,11 @@ def main(argv=None) -> int:
     parser.add_argument("--post", action="store_true", help="POST results to backend")
     parser.add_argument("--backend_url", default=None)
     parser.add_argument(
+        "--mesh", action="store_true",
+        help="shard batch inference over ALL local devices (data-parallel "
+             "SPMD; single-device behavior is unchanged without it)",
+    )
+    parser.add_argument(
         "--device_sampling", action="store_true",
         help="run content-aware frame selection on the TPU (decode all "
              "frames on host, score + top-k select on device)",
@@ -304,7 +310,18 @@ def main(argv=None) -> int:
     if len(names) == 0:
         print("No videos found.")
         return 1
-    results = classify_and_display(model, variables, clips, names, class_names)
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from vct.parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(jax.devices(), model=1)
+            print(f"Sharding inference over {mesh.size} devices")
+    results = classify_and_display(
+        model, variables, clips, names, class_names, mesh=mesh
+    )
     if args.post:
         post_results(results, args.backend_url or cfg.serve.backend_url)
     return 0

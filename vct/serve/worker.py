@@ -39,6 +39,15 @@ class Worker:
             cfg.model_path
         )
         self.pull = QueuePull(port=cfg.queue_port)
+        self.mesh = None
+        if os.environ.get("VCT_WORKER_MESH") == "1":
+            import jax
+
+            from vct.parallel.mesh import make_mesh
+
+            if len(jax.devices()) > 1:
+                self.mesh = make_mesh(jax.devices(), model=1)
+                print(f"worker sharding inference over {self.mesh.size} devices")
 
     def callback(self, url: str) -> None:
         print(f"Processing message: {url}")
@@ -65,7 +74,8 @@ class Worker:
             print("No videos to classify.")
             return
         results = classify_and_display(
-            self.model, self.variables, clips, names, self.class_names
+            self.model, self.variables, clips, names, self.class_names,
+            mesh=self.mesh,
         )
         posted = post_results(results, self.cfg.backend_url)
         # Delete videos whose result the backend confirmed. Transient
