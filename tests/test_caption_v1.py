@@ -135,3 +135,69 @@ def test_v1_decoder_matches_torch(rnn_type):
         variables, jnp.asarray(enc), jnp.asarray(caps)
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Beam search across captioner families
+# ---------------------------------------------------------------------------
+
+
+def _first_end(tokens, end=2):
+    out = []
+    for t in tokens:
+        if int(t) == end:
+            break
+        out.append(int(t))
+    return out
+
+
+@pytest.mark.parametrize("rnn_type", ["lstm", "gru"])
+def test_v1_beam_width1_equals_greedy(rnn_type):
+    from vct.caption.beam import beam_search
+
+    model = _model(rnn_type)
+    video = jnp.asarray(np.random.RandomState(3).rand(B, T, HW, HW, 3), jnp.float32)
+    caps = jnp.zeros((B, MAXLEN), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(1), video, caps)
+
+    greedy = np.asarray(model.apply(variables, video, method="greedy_caption"))
+    toks, scores = beam_search(model, variables, video, beam_width=1,
+                               max_len=MAXLEN)
+    toks = np.asarray(toks)
+    assert toks.shape == (B, MAXLEN + 1)
+    assert np.all(np.isfinite(np.asarray(scores)))
+    for b in range(B):
+        # beam row leads with <start>; compare up to the first <end>
+        assert _first_end(toks[b, 1:]) == _first_end(greedy[b])
+
+
+def test_v1_beam_width3_scores_at_least_greedy():
+    from vct.caption.beam import beam_search
+
+    model = _model("gru")
+    video = jnp.asarray(np.random.RandomState(4).rand(B, T, HW, HW, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), video,
+                           jnp.zeros((B, MAXLEN), jnp.int32))
+    _, s1 = beam_search(model, variables, video, beam_width=1, max_len=MAXLEN)
+    _, s3 = beam_search(model, variables, video, beam_width=3, max_len=MAXLEN)
+    assert np.all(np.asarray(s3) >= np.asarray(s1) - 1e-5)
+
+
+def test_transformer_beam_width1_equals_greedy():
+    from vct.caption.beam import beam_search
+    from vct.caption.transformer import TransformerCaptioner
+
+    model = TransformerCaptioner(
+        vocab_size=VOCAB, cnn_backbone="resnet18", cnn_output_size=E,
+        hidden_size=E, num_heads=2, num_layers=1, max_len=MAXLEN,
+    )
+    video = jnp.asarray(np.random.RandomState(5).rand(B, T, HW, HW, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), video,
+                           jnp.zeros((B, MAXLEN), jnp.int32))
+    greedy = np.asarray(model.apply(variables, video, method="greedy_caption"))
+    toks, _ = beam_search(model, variables, video, beam_width=1, max_len=MAXLEN)
+    toks = np.asarray(toks)
+    for b in range(B):
+        # transformer greedy buffer leads with <start> and holds max_len-1
+        # generated tokens; compare that common window (up to the first end)
+        assert _first_end(toks[b, 1:MAXLEN]) == _first_end(greedy[b, 1:MAXLEN])

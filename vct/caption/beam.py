@@ -1,18 +1,22 @@
-"""On-device beam search (C29).
+"""On-device beam search (C29) — for EVERY captioner family.
 
 The reference beam-searches on the host: a Python list of
 (score, token_list, hidden) tuples re-invoking the decoder per beam per step
 (``s2vt/beam_search.py:384-436``) — and its decoder call itself loops
 ``max_len`` internally, an O(max_len^2) quirk (``beam_search.py:330-341``)
-that SURVEY.md §7 explicitly says to fix, not copy.
+that SURVEY.md §7 explicitly says to fix, not copy. It also only exists for
+the v2 GRU+Luong model; here one jitted search serves the S2VT, the v1
+stepwise LSTM/GRU, and the transformer captioners.
 
-Here the whole search is one jitted ``lax.fori_loop`` with fixed-shape state:
+The whole search is one jitted ``lax.fori_loop`` with fixed-shape state:
 
-    tokens (B, K, L+1) | scores (B, K) | hidden (B, K, H) | done (B, K)
+    tokens (B, K, L+1) | scores (B, K) | stepper state pytree (B*K, ...) | done
 
-Each step runs the single-step decoder over all B·K beams in one batch,
-expands to K·V candidates, masks finished beams (only a zero-cost <pad>
-continuation survives), and ``top_k``-prunes back to K. No host round-trips.
+Each step runs the family's single-step decoder over all B·K beams in one
+batch, expands to K·V candidates, masks finished beams (only a zero-cost
+<pad> continuation survives), and ``top_k``-prunes back to K. No host
+round-trips. The family dispatch happens at trace time (the model is a
+static jit argument).
 
 Greedy decode is the K=1 special case and is exposed separately for the
 evaluate path (``beam_search.py:493-...`` evaluate_video_to_text).
@@ -31,6 +35,72 @@ __all__ = ["beam_search", "greedy_decode", "decode_tokens"]
 NEG_INF = -1e9
 
 
+def _make_stepper(model, variables, video, max_len: int):
+    """(enc_state, beam_state, step_fn) for the model's family.
+
+    step_fn(tokens_flat (B*K, L+1), i, state, enc) -> (logits (B*K, V), state)
+    with every beam_state leaf carrying a LEADING B*K axis (so the core loop
+    can reorder it by parent beam).
+    """
+    # Dispatch by type name: linen submodules (decoder_step etc.) only exist
+    # on BOUND instances, so hasattr on the bare module is useless here.
+    name = type(model).__name__
+    if name == "S2VTModel":  # v2 GRU + Luong
+        enc_out, hidden = model.apply(variables, video, method=model.encode)
+
+        def step(tokens_flat, i, state, enc):
+            logits, new_hidden, _ = model.apply(
+                variables, tokens_flat[:, i], state, enc,
+                method=lambda mdl, t, h, e: mdl.decoder_step(t, h, e),
+            )
+            return logits, new_hidden
+
+        return enc_out, hidden, step
+
+    if name == "V1RNNCaptioner":
+        enc = model.apply(variables, video, method=model.encode)
+        B = video.shape[0]
+        L, H = model.dec_layers, model.hidden_size
+        zeros = jnp.zeros((B, L, H), enc.dtype)
+        state0 = (zeros, zeros) if model.rnn_type == "lstm" else zeros
+
+        def step(tokens_flat, i, state, enc_k):
+            def body(mdl, tok, st, e):
+                # the stacked cell wants (num_layers, batch, H)
+                st_t = jax.tree_util.tree_map(
+                    lambda x: jnp.swapaxes(x, 0, 1), st
+                )
+                out, new_st = mdl.dec_cell(mdl.embed(tok), st_t)
+                attn = mdl.cross_attn(out[:, None, :], e, e)[:, 0]
+                new_st = jax.tree_util.tree_map(
+                    lambda x: jnp.swapaxes(x, 0, 1), new_st
+                )
+                return mdl.fc(attn), new_st
+
+            return model.apply(
+                variables, tokens_flat[:, i], state, enc_k, method=body
+            )
+
+        return enc, state0, step
+
+    if name == "TransformerCaptioner":
+        enc = model.apply(variables, video, method=model.encode)
+
+        def step(tokens_flat, i, state, enc_k):
+            # No recurrent state: re-decode the causal prefix and read the
+            # logits at position i (the decoder is tiny; max_len re-passes
+            # stay inside the one compiled loop).
+            logits_all = model.apply(
+                variables, enc_k, tokens_flat[:, : model.max_len],
+                method=lambda mdl, e, t: mdl.decode_logits(e, t),
+            )
+            return logits_all[:, i], state
+
+        return enc, (), step
+
+    raise TypeError(f"No beam stepper for captioner type {name}")
+
+
 @partial(jax.jit, static_argnames=("model", "beam_width", "max_len", "start_token", "end_token", "pad_token"))
 def _beam_search_jit(
     variables,
@@ -42,23 +112,13 @@ def _beam_search_jit(
     end_token: int,
     pad_token: int,
 ):
-    def apply_fn(variables, *args, method):
-        if method == "encode":
-            return model.apply(variables, *args, method=model.encode)
-        token, hidden, enc = args
-        return model.apply(
-            variables, token, hidden, enc,
-            method=lambda mdl, t, h, e: mdl.decoder_step(t, h, e),
-        )
+    enc, state0, step_fn = _make_stepper(model, variables, video, max_len)
+    B = video.shape[0]
+    K = beam_width
 
-    enc_out, hidden = apply_fn(variables, video, method="encode")
-    B, T, H = enc_out.shape
-    K, V_dummy = beam_width, None
-    del V_dummy
-
-    # Broadcast encoder state across beams: (B*K, ...)
-    enc_k = jnp.repeat(enc_out, K, axis=0)  # (B*K, T, H)
-    hidden_k = jnp.repeat(hidden, K, axis=0)  # (B*K, H)
+    # Broadcast encoder output and stepper state across beams: (B*K, ...).
+    enc_k = jax.tree_util.tree_map(lambda x: jnp.repeat(x, K, axis=0), enc)
+    state_k = jax.tree_util.tree_map(lambda x: jnp.repeat(x, K, axis=0), state0)
 
     tokens = jnp.full((B, K, max_len + 1), pad_token, jnp.int32)
     tokens = tokens.at[:, :, 0].set(start_token)
@@ -68,12 +128,10 @@ def _beam_search_jit(
     ) * jnp.ones((B, K))
     done = jnp.zeros((B, K), bool)
 
-    def step(i, state):
-        tokens, scores, hidden_k, done = state
-        last = tokens[:, :, i].reshape(B * K)
-        logits, new_hidden_k, _ = apply_fn(
-            variables, last, hidden_k, enc_k, method="decode_step"
-        )
+    def step(i, loop_state):
+        tokens, scores, state_k, done = loop_state
+        tokens_flat = tokens.reshape(B * K, max_len + 1)
+        logits, new_state_k = step_fn(tokens_flat, i, state_k, enc_k)
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, -1)
         V = logp.shape[-1]
 
@@ -91,12 +149,17 @@ def _beam_search_jit(
         batch_idx = jnp.arange(B)[:, None]
         tokens = tokens[batch_idx, beam_idx]  # (B, K, L+1)
         tokens = tokens.at[:, :, i + 1].set(tok_idx)
-        new_hidden = new_hidden_k.reshape(B, K, -1)[batch_idx, beam_idx]
+
+        def reorder(x):  # (B*K, ...) gather along the beam axis
+            xk = x.reshape((B, K) + x.shape[1:])
+            return xk[batch_idx, beam_idx].reshape((B * K,) + x.shape[1:])
+
+        new_state_k = jax.tree_util.tree_map(reorder, new_state_k)
         done = done[batch_idx, beam_idx] | (tok_idx == end_token)
-        return tokens, new_scores, new_hidden.reshape(B * K, -1), done
+        return tokens, new_scores, new_state_k, done
 
     tokens, scores, _, _ = jax.lax.fori_loop(
-        0, max_len, step, (tokens, scores, hidden_k, done)
+        0, max_len, step, (tokens, scores, state_k, done)
     )
     best = jnp.argmax(scores, axis=1)
     return tokens[jnp.arange(B), best], scores[jnp.arange(B), best]
@@ -112,7 +175,9 @@ def beam_search(
     end_token: int = 2,
     pad_token: int = 0,
 ):
-    """Returns (tokens (B, max_len+1) incl. leading <start>, scores (B,))."""
+    """Returns (tokens (B, max_len+1) incl. leading <start>, scores (B,)).
+
+    Works for every captioner family (S2VT, v1 LSTM/GRU, transformer)."""
     return _beam_search_jit(
         variables, video, model, beam_width, max_len,
         start_token, end_token, pad_token,
