@@ -46,6 +46,7 @@ def main(argv=None) -> int:
     video_dir = grab("--video_dir")
     annotations_path = grab("--annotations")
     cfg = CaptionConfig(
+        model_kind=grab("--model_kind", "s2vt"),
         cnn_backbone=grab("--backbone", "resnet50"),
         cnn_output_size=int(grab("--cnn_output_size", 512)),
         hidden_size=int(grab("--hidden_size", 512)),
