@@ -25,6 +25,7 @@ __all__ = [
     "build_dataset_cache",
     "build_clipcache",
     "load_dataset_cache",
+    "ensure_cache",
     "load_or_build_dataset",
     "load_dataset_simple",
     "load_dataset_inference",
@@ -177,18 +178,24 @@ def load_dataset_cache(cfg: Config) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     return x, y, classes
 
 
-def load_or_build_dataset(cfg: Config):
+def ensure_cache(cfg: Config) -> None:
+    """Build the configured dataset cache if it does not exist yet."""
     d = cfg.data
-    if not (os.path.exists(d.data_file) and os.path.exists(d.classes_file)):
-        if not d.dataset_path:
-            raise ValueError(
-                "No dataset cache found and data.dataset_path is empty "
-                "(set data.synthetic=true for the synthetic harness)"
-            )
-        if d.cache_format == "clipcache":
-            build_clipcache(cfg)
-        else:
-            build_dataset_cache(cfg)
+    if os.path.exists(d.data_file) and os.path.exists(d.classes_file):
+        return
+    if not d.dataset_path:
+        raise ValueError(
+            "No dataset cache found and data.dataset_path is empty "
+            "(set data.synthetic=true for the synthetic harness)"
+        )
+    if d.cache_format == "clipcache":
+        build_clipcache(cfg)
+    else:
+        build_dataset_cache(cfg)
+
+
+def load_or_build_dataset(cfg: Config):
+    ensure_cache(cfg)
     return load_dataset_cache(cfg)
 
 

@@ -74,11 +74,7 @@ class ArrayLoader:
         self.num_examples = len(x)
 
     def epoch(self, rng: Optional[np.random.RandomState] = None) -> Iterator[Batch]:
-        order = (
-            rng.permutation(self.num_examples)
-            if rng is not None
-            else np.arange(self.num_examples)
-        )
+        order = _epoch_order(self.num_examples, rng)
         for start in range(0, self.num_examples, self.batch_size):
             idx = order[start : start + self.batch_size]
             yield _pad(self.x[idx], self.y[idx], len(idx), self.batch_size)
@@ -110,11 +106,7 @@ class HDF5Loader:
         self.labels = np.asarray(self._hf["labels"])[self.indices]
 
     def epoch(self, rng: Optional[np.random.RandomState] = None) -> Iterator[Batch]:
-        order = (
-            rng.permutation(self.num_examples)
-            if rng is not None
-            else np.arange(self.num_examples)
-        )
+        order = _epoch_order(self.num_examples, rng)
         for start in range(0, self.num_examples, self.batch_size):
             sel = order[start : start + self.batch_size]
             file_idx = self.indices[sel]
@@ -145,8 +137,8 @@ _CC_HEADER_DTYPE = np.dtype([
 _CC_MAGIC = 0x5643544331
 
 
-def _cc_magic() -> int:
-    return _CC_MAGIC
+def _epoch_order(n: int, rng: Optional[np.random.RandomState]) -> np.ndarray:
+    return rng.permutation(n) if rng is not None else np.arange(n)
 
 
 class ClipCacheMapLoader:
@@ -162,7 +154,7 @@ class ClipCacheMapLoader:
                  indices: Optional[np.ndarray] = None):
         self.batch_size = batch_size
         hd = np.fromfile(path, dtype=_CC_HEADER_DTYPE, count=1)[0]
-        if hd["magic"] != _cc_magic():
+        if hd["magic"] != _CC_MAGIC:
             raise IOError(f"{path} is not a clip cache")
         n = int(hd["num_clips"])
         t, h, w, c = (int(hd[k]) for k in ("t", "h", "w", "c"))
@@ -191,11 +183,7 @@ class ClipCacheMapLoader:
         self.labels = self.labels[self.indices]
 
     def epoch(self, rng: Optional[np.random.RandomState] = None) -> Iterator[Batch]:
-        order = (
-            rng.permutation(self.num_examples)
-            if rng is not None
-            else np.arange(self.num_examples)
-        )
+        order = _epoch_order(self.num_examples, rng)
         for start in range(0, self.num_examples, self.batch_size):
             sel = order[start : start + self.batch_size]
             xb = np.asarray(self._clips[self.indices[sel]])  # gather -> RAM copy

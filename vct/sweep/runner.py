@@ -91,66 +91,12 @@ class SweepRunner:
         return trainer.evaluate(state, x_te, y_te, run=run)
 
     def _train_inprocess_stream(self, cfg: Config) -> RunMetrics:
-        """Stream train/eval from the dataset cache without materializing it
-        (the loader path of vct.data.loaders; cache built once, shared by
-        every trial)."""
-        import jax
-        import numpy as np
+        """Stream the trial from the dataset cache (shared session in
+        vct.train.stream; cache built once, shared by every trial)."""
+        from vct.train.stream import stream_train_eval
 
-        from vct.data.loaders import (
-            cache_num_examples,
-            open_cache_loader,
-            split_indices,
-        )
-        from vct.train.checkpoint import save_checkpoint
-        from vct.train.engine import Trainer, compute_class_weights
-
-        if not (os.path.exists(cfg.data.data_file)
-                and os.path.exists(cfg.data.classes_file)):
-            from vct.data.ingest import build_clipcache, build_dataset_cache
-
-            if cfg.data.cache_format == "clipcache":
-                build_clipcache(cfg)
-            else:
-                build_dataset_cache(cfg)
-        class_names = [
-            str(c) for c in np.load(cfg.data.classes_file, allow_pickle=True)
-        ]
-        n = cache_num_examples(cfg)
-        train_idx, test_idx = split_indices(
-            n, cfg.data.val_fraction, cfg.data.split_seed
-        )
-        train_loader = open_cache_loader(cfg, train_idx)
-        test_loader = open_cache_loader(cfg, test_idx)
-        try:
-            weights = None
-            if cfg.train.weighted_loss:
-                weights = compute_class_weights(
-                    train_loader.labels, cfg.model.num_classes,
-                    cfg.model.classif_mode,
-                )
-            trainer = Trainer(cfg, class_names, class_weights=weights)
-            sample_x, _, _ = next(iter(train_loader.epoch()))
-            if sample_x.dtype == np.uint8:
-                sample_x = sample_x.astype(np.float32) / 255.0
-            state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), sample_x)
-            state, run = trainer.fit(state, train_loader)
-            if cfg.train.save_model:
-                save_checkpoint(
-                    cfg.train.model_path,
-                    {
-                        "params": jax.device_get(state.params),
-                        **jax.device_get(state.extra_vars),
-                    },
-                    cfg,
-                    class_names,
-                )
-            return trainer.evaluate(state, test_loader, run=run)
-        finally:
-            # Sweeps run many trials in one process: leaked h5py handles /
-            # memmaps on the shared cache would accumulate per trial.
-            train_loader.close()
-            test_loader.close()
+        _, metrics = stream_train_eval(cfg)
+        return metrics
 
     def _train_subprocess(self, cfg: Config) -> RunMetrics:
         args = [sys.executable, "-m", "vct.train"]

@@ -37,64 +37,10 @@ def load_training_data(cfg: Config):
 
 
 def _main_stream(cfg: Config) -> int:
-    """Out-of-core path: train/eval straight from the dataset cache without
-    materializing the arrays (the reference's HDF5-backed VideoDataset,
-    loader_data.py:74-125, at scales where in-RAM loading breaks)."""
-    import os
+    """Out-of-core path (data.stream=true): delegate to the shared session."""
+    from vct.train.stream import stream_train_eval
 
-    from vct.data.loaders import (
-        cache_num_examples,
-        open_cache_loader,
-        split_indices,
-    )
-
-    if not (os.path.exists(cfg.data.data_file) and os.path.exists(cfg.data.classes_file)):
-        from vct.data.ingest import build_clipcache, build_dataset_cache
-
-        if not cfg.data.dataset_path:
-            raise ValueError("data.stream needs an existing cache or data.dataset_path")
-        if cfg.data.cache_format == "clipcache":
-            build_clipcache(cfg)
-        else:
-            build_dataset_cache(cfg)
-    class_names = [
-        str(c) for c in np.load(cfg.data.classes_file, allow_pickle=True)
-    ]
-    n = cache_num_examples(cfg)
-    train_idx, test_idx = split_indices(n, cfg.data.val_fraction, cfg.data.split_seed)
-    train_loader = open_cache_loader(cfg, train_idx)
-    test_loader = open_cache_loader(cfg, test_idx)
-    import contextlib
-
-    ctx = contextlib.ExitStack()
-    ctx.callback(train_loader.close)
-    ctx.callback(test_loader.close)
-    print(f"Train: {len(train_idx)} clips, Test: {len(test_idx)} clips "
-          f"(streaming from {cfg.data.data_file}), classes: {class_names}")
-
-    weights = None
-    if cfg.train.weighted_loss:
-        weights = compute_class_weights(
-            train_loader.labels, cfg.model.num_classes, cfg.model.classif_mode
-        )
-        print("class weights:", weights)
-
-    trainer = Trainer(cfg, class_names, class_weights=weights)
-    sample_x, _, _ = next(iter(train_loader.epoch()))
-    if sample_x.dtype == np.uint8:
-        sample_x = sample_x.astype(np.float32) / 255.0
-    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), sample_x)
-    state, run = trainer.fit(state, train_loader)
-    if cfg.train.save_model:
-        path = save_checkpoint(
-            cfg.train.model_path,
-            {"params": jax.device_get(state.params), **jax.device_get(state.extra_vars)},
-            cfg,
-            class_names,
-        )
-        print(f"Model saved to {path}")
-    with ctx:
-        trainer.evaluate(state, test_loader, run=run)
+    stream_train_eval(cfg)
     return 0
 
 
