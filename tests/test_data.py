@@ -345,3 +345,55 @@ class TestNativeDecoder:
         x2, y2, _ = build("native", "c2")
         np.testing.assert_array_equal(x1, x2)
         np.testing.assert_array_equal(y1, y2)
+
+
+class TestUniformSeek:
+    """uniform_seek: seek-decode only the T frames (backup_ucf50.py:48-68)."""
+
+    def test_matches_uniform_selection(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from vct.data.video import decode_and_sample
+
+        path = str(tmp_path / "v.mp4")
+        rng = np.random.RandomState(0)
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (32, 32))
+        for _ in range(30):
+            w.write(rng.randint(0, 256, (32, 32, 3), np.uint8))
+        w.release()
+        full = decode_and_sample(path, 16, 16, 6, "uniform")
+        seek = decode_and_sample(path, 16, 16, 6, "uniform_seek")
+        np.testing.assert_array_equal(full, seek)
+
+    def test_short_video_falls_back_to_pad(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from vct.data.video import decode_and_sample
+
+        path = str(tmp_path / "s.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (32, 32))
+        for _ in range(3):
+            w.write(np.zeros((32, 32, 3), np.uint8))
+        w.release()
+        clip = decode_and_sample(path, 16, 16, 6, "uniform_seek")
+        assert clip.shape == (6, 16, 16, 3)  # duplicate-padded
+
+    def test_seek_decodes_fewer_frames_faster(self, tmp_path):
+        """On a long video the seek path reads ~T frames, not all."""
+        import time
+
+        cv2 = pytest.importorskip("cv2")
+        from vct.data.video import decode_and_sample
+
+        path = str(tmp_path / "long.mp4")
+        rng = np.random.RandomState(0)
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (160, 120))
+        base = rng.randint(0, 256, (120, 160, 3), np.uint8)
+        for i in range(400):
+            w.write(np.roll(base, i, axis=1))
+        w.release()
+        t0 = time.perf_counter()
+        decode_and_sample(path, 32, 32, 8, "uniform")
+        t_full = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        decode_and_sample(path, 32, 32, 8, "uniform_seek")
+        t_seek = time.perf_counter() - t0
+        assert t_seek < t_full  # reads 8 frames instead of 400

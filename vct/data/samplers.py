@@ -196,6 +196,10 @@ def optical_flow_sampling_most_unique(frames: Sequence[np.ndarray], sequence_len
 
 SAMPLERS = {
     "uniform": uniform_sampling,
+    # seek-decode fast path: the DECODER reads only the T frames
+    # (vct.data.video.decode_uniform_seek); on an already-decoded frame list
+    # it is plain uniform selection (same indices).
+    "uniform_seek": uniform_sampling,
     "ssim": ssim_sampling,
     "sad": sad_sampling,
     "optical_flow": optical_flow_sampling,

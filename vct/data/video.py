@@ -19,7 +19,7 @@ from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["decode_video", "decode_and_sample", "ParallelDecoder"]
+__all__ = ["decode_video", "decode_uniform_seek", "decode_and_sample", "ParallelDecoder"]
 
 
 def decode_video(
@@ -73,6 +73,39 @@ def decode_video(
     return frames
 
 
+def decode_uniform_seek(
+    path: str, height: int, width: int, sequence_length: int
+) -> List[np.ndarray]:
+    """Seek-based uniform sampling: decode ONLY the T needed frames
+    (``lrcn/backup_ucf50.py:48-68``: CAP_PROP_POS_FRAMES to i*interval).
+
+    Selects the same indices as ``uniform_sampling`` (stride = total//T),
+    so results match the decode-everything path whenever container seeking
+    is frame-accurate; for long videos this reads T frames instead of all.
+    Returns [] when the video is shorter than T (caller falls back)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"Could not open video file {path}")
+    try:
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if total < sequence_length or total <= 0:
+            return []
+        interval = total // sequence_length
+        frames: List[np.ndarray] = []
+        for i in range(sequence_length):
+            cap.set(cv2.CAP_PROP_POS_FRAMES, i * interval)
+            ret, frame = cap.read()
+            if not ret:
+                return []  # inaccurate metadata/seek: fall back
+            frame = cv2.resize(frame, (width, height))
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        return frames
+    finally:
+        cap.release()
+
+
 def decode_and_sample(
     path: str,
     height: int,
@@ -89,6 +122,17 @@ def decode_and_sample(
     which does the normalize on TPU).
     """
     from vct.data.samplers import sample_frames
+
+    if sampling_method == "uniform_seek":
+        # Seek-decode only the T frames (backup_ucf50.py variant); fall back
+        # to the full decode + pad path for short clips or failed seeks.
+        frames = decode_uniform_seek(path, height, width, sequence_length)
+        if frames:
+            clip = np.stack(frames).astype(np.float32 if normalize else np.uint8)
+            if normalize:
+                clip /= 255.0
+            return clip
+        sampling_method = "uniform"
 
     # Uniform sampling only needs the first T*interval frames when the
     # clip is long, but interval depends on total length — decode all for
