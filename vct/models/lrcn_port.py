@@ -1,0 +1,171 @@
+"""Port a FULL reference-LRCN torch state_dict into vct variables.
+
+The reference checkpoints whole torch modules (``train_eval.py:53``
+``torch.save(model)``); users migrating to vct export
+``torch.load(path).state_dict()`` (or already have a state_dict ``.pth``)
+and run::
+
+    python -m vct.tools.port_reference --state_dict lrcn.pth \
+        --out /models/ported --num_classes 4 --sequence_length 60 \
+        --rnn_type mamba --rnn_input_size 8 --rnn_layer 3 ...
+
+producing a standard vct checkpoint dir that the serving stack loads.
+
+Key layout being consumed (``medsos_lrcn/src/models.py:121-186``):
+
+    cnn_backbone.*                       torchvision backbone
+    adapt{1,2,3}.*, bn{1,2,3}.*          canonical adapter (Linear + LayerNorm)
+    rnn.weight_ih_l{i}[_reverse] ...     nn.LSTM / nn.GRU
+    rnn.{i}.norm.weight, rnn.{i}.mixer.* mamba ResidualBlock list
+    bn0/fc/bna/fca/bnb/fcb.*             multiclass MLP head
+    fc.{i}.weight/bias                   per-class binary head list
+
+The same mapping is golden-tested end-to-end (logits <= 1e-3 of torch)
+in ``tests/test_full_model_parity.py``; this module is the production
+entry point for it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from vct.models.backbones.port import load_torch_backbone, torch_tensor_dict
+
+__all__ = ["port_reference_lrcn"]
+
+
+def _dense(sd, prefix):
+    return {"kernel": np.transpose(sd[f"{prefix}.weight"]),
+            "bias": sd[f"{prefix}.bias"]}
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _split_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    plen = len(prefix) + 1
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
+
+
+def _port_rnn(sd_rnn, bidirectional: bool, num_layers: int):
+    params = {}
+    suffixes = ["", "_reverse"] if bidirectional else [""]
+    for layer in range(num_layers):
+        for suffix in suffixes:
+            for kind in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                key = f"{kind}_l{layer}{suffix}"
+                v = sd_rnn[key]
+                params[key] = np.transpose(v) if kind.startswith("weight") else v
+    return params
+
+
+def _port_mixer(sd_m):
+    return {
+        "A_log": sd_m["A_log"],
+        "D": sd_m["D"],
+        "in_proj": {"kernel": np.transpose(sd_m["in_proj.weight"]),
+                    "bias": sd_m["in_proj.bias"]},
+        "conv_kernel": np.transpose(sd_m["conv1d.weight"][:, 0, :]),
+        "conv_bias": sd_m["conv1d.bias"],
+        "x_proj": {"kernel": np.transpose(sd_m["x_proj.weight"])},
+        "dt_proj": {"kernel": np.transpose(sd_m["dt_proj.weight"]),
+                    "bias": sd_m["dt_proj.bias"]},
+        "out_proj": {"kernel": np.transpose(sd_m["out_proj.weight"]),
+                     "bias": sd_m["out_proj.bias"]},
+    }
+
+
+def port_reference_lrcn(variables: dict, state_dict, model_cfg) -> dict:
+    """Port a reference LRCN state_dict into vct LRCN ``variables``.
+
+    ``variables``: fresh tree from ``model.init`` (shapes must match the
+    config — same backbone, rnn_type, sizes, classif_mode).
+    ``model_cfg``: the ``vct.core.config.ModelConfig`` describing the model.
+    Returns a new variables tree; raises KeyError/ValueError on mismatches.
+    """
+    sd = torch_tensor_dict(state_dict)
+
+    bb_sub = {
+        "params": variables["params"]["cnn_backbone"],
+        "batch_stats": variables.get("batch_stats", {}).get("cnn_backbone", {}),
+    }
+    bb = load_torch_backbone(
+        model_cfg.cnn_backbone, bb_sub, _split_prefix(sd, "cnn_backbone")
+    )
+
+    params = dict(variables["params"])
+    params["cnn_backbone"] = bb["params"]
+    params["adapt"] = {
+        "adapt1": _dense(sd, "adapt1"), "bn1": _ln(sd, "bn1"),
+        "adapt2": _dense(sd, "adapt2"), "bn2": _ln(sd, "bn2"),
+        "adapt3": _dense(sd, "adapt3"), "bn3": _ln(sd, "bn3"),
+    }
+
+    if model_cfg.rnn_type == "mamba":
+        for i in range(model_cfg.rnn_layer):
+            params[f"mamba_{i}"] = {
+                "norm": {"weight": sd[f"rnn.{i}.norm.weight"]},
+                "mixer": _port_mixer(_split_prefix(sd, f"rnn.{i}.mixer")),
+            }
+    else:
+        params["rnn"] = {
+            model_cfg.rnn_type: _port_rnn(
+                _split_prefix(sd, "rnn"),
+                model_cfg.bidirectional, model_cfg.rnn_layer,
+            )
+        }
+
+    if model_cfg.classif_mode == "multiclass":
+        params["head"] = {
+            "bn0": _ln(sd, "bn0"), "fc": _dense(sd, "fc"),
+            "bna": _ln(sd, "bna"), "fca": _dense(sd, "fca"),
+            "bnb": _ln(sd, "bnb"), "fcb": _dense(sd, "fcb"),
+        }
+    else:
+        # ModuleList of per-class Linear(F, 1) -> one fused Dense(F, C)
+        n = model_cfg.num_classes
+        params["head"] = {"binary_heads": {
+            "kernel": np.concatenate([sd[f"fc.{i}.weight"] for i in range(n)]).T,
+            "bias": np.concatenate([sd[f"fc.{i}.bias"] for i in range(n)]),
+        }}
+
+    # Strictness: every state_dict tensor must belong to a consumed region
+    # (same consume-everything policy as the backbone porter — silent extras
+    # usually mean the config does not describe this checkpoint).
+    known = ["cnn_backbone.", "rnn.", "adapt1.", "adapt2.", "adapt3.",
+             "bn1.", "bn2.", "bn3."]
+    if model_cfg.classif_mode == "multiclass":
+        known += ["bn0.", "bna.", "bnb.", "fc.", "fca.", "fcb."]
+    else:
+        known += [f"fc.{i}." for i in range(model_cfg.num_classes)]
+    leftovers = sorted(
+        k for k in sd
+        if not any(k.startswith(p) for p in known)
+        and not k.endswith("num_batches_tracked")
+    )
+    if leftovers:
+        raise ValueError(f"Unconsumed state_dict tensors: {leftovers[:8]}...")
+
+    # Shape-check every ported leaf against the fresh init.
+    import jax
+
+    def check(path, a, b):
+        if tuple(np.shape(a)) != tuple(np.shape(b)):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            raise ValueError(
+                f"{name}: ported shape {np.shape(b)} != model {np.shape(a)}"
+            )
+
+    jax.tree_util.tree_map_with_path(
+        lambda p, a, b: check(p, a, b), variables["params"], params
+    )
+
+    out = dict(variables)
+    out["params"] = params
+    if "batch_stats" in bb and bb["batch_stats"]:
+        out["batch_stats"] = dict(variables.get("batch_stats", {}))
+        out["batch_stats"]["cnn_backbone"] = bb["batch_stats"]
+    return out
