@@ -214,3 +214,65 @@ def test_port_reference_extra_key_raises():
     sd["mystery.weight"] = torch.zeros(3)
     with pytest.raises(ValueError, match="Unconsumed"):
         port_reference_lrcn(variables, sd, cfg.model)
+
+
+def test_port_reference_videomamba_logits():
+    from test_full_model_parity import TRefVideoMamba
+    from vct.models.lrcn_port import port_reference_videomamba
+    from vct.models.videomamba import VideoMamba
+
+    class TRefVMExact(TRefVideoMamba):
+        """Reference key names: layers.{i}.norm/mixer, classifier."""
+
+        def __init__(self):
+            super().__init__("mean", "multiclass")
+            blocks = []
+            for norm, mixer in zip(self.norms, self.mixers):
+                blk = torch.nn.Module()
+                blk.norm, blk.mixer = norm, mixer
+                # reference's mixer param names
+                blk.mixer._modules["conv1d"] = blk.mixer._modules.pop("conv")
+                blk.mixer.D = torch.nn.Parameter(torch.randn(blk.mixer.d_inner))
+                blocks.append(blk)
+            self.layers = torch.nn.ModuleList(blocks)
+            del self.norms, self.mixers
+
+        def forward(self, x):
+            b, t = x.shape[:2]
+            x = self.cnn_backbone(x.reshape(b * t, *x.shape[2:]))
+            x = self.adapt(x).reshape(b, t, -1)
+            for blk in self.layers:
+                u = blk.norm(x)
+                # call the mixer with its conv re-exposed
+                blk.mixer.conv = blk.mixer._modules["conv1d"]
+                x = blk.mixer(u) + x
+                del blk.mixer.conv
+            x = self.norm_f(x)
+            return self.classifier(x.mean(dim=1))
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        t_model = TRefVMExact()
+        _randomize_bn_stats(t_model)
+        t_model.eval()
+        x = np.random.RandomState(1).rand(B, T, 3, H, W).astype(np.float32)
+        want = t_model(torch.from_numpy(x)).numpy()
+
+    cfg = Config().replace(**{
+        "model.model_family": "videomamba",
+        "model.num_classes": str(CLASSES),
+        "model.cnn_backbone": "resnet18",
+        "model.vm_d_model": "12", "model.vm_d_inner": "24",
+        "model.vm_n_state": "4", "model.vm_dt_rank": "4",
+        "model.vm_n_layer": "2", "model.vm_temporal_mode": "mean",
+        "data.sequence_length": str(T),
+    })
+    model = VideoMamba(
+        num_classes=CLASSES, cnn_backbone="resnet18", n_layer=2, d_model=12,
+        d_inner=24, n_state=4, dt_rank=4, num_frames=T, temporal_mode="mean",
+    )
+    xj = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    variables = model.init(jax.random.PRNGKey(0), xj)
+    ported = port_reference_videomamba(variables, t_model.state_dict(), cfg.model)
+    got = np.asarray(model.apply(ported, xj))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)

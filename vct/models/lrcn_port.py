@@ -33,7 +33,7 @@ import numpy as np
 
 from vct.models.backbones.port import load_torch_backbone, torch_tensor_dict
 
-__all__ = ["port_reference_lrcn"]
+__all__ = ["port_reference_lrcn", "port_reference_videomamba"]
 
 
 def _dense(sd, prefix):
@@ -163,6 +163,70 @@ def port_reference_lrcn(variables: dict, state_dict, model_cfg) -> dict:
         lambda p, a, b: check(p, a, b), variables["params"], params
     )
 
+    out = dict(variables)
+    out["params"] = params
+    if "batch_stats" in bb and bb["batch_stats"]:
+        out["batch_stats"] = dict(variables.get("batch_stats", {}))
+        out["batch_stats"]["cnn_backbone"] = bb["batch_stats"]
+    return out
+
+
+def port_reference_videomamba(variables: dict, state_dict, model_cfg) -> dict:
+    """Port a reference VideoMamba state_dict (``lrcn/videomamba.py:332-386``:
+    cnn_backbone, single Linear ``adapt``, ``layers.{i}.norm/mixer`` residual
+    blocks, ``norm_f``, ``classifier`` Linear or ``classifier.{i}`` list)."""
+    sd = torch_tensor_dict(state_dict)
+
+    bb_sub = {
+        "params": variables["params"]["cnn_backbone"],
+        "batch_stats": variables.get("batch_stats", {}).get("cnn_backbone", {}),
+    }
+    bb = load_torch_backbone(
+        model_cfg.cnn_backbone, bb_sub, _split_prefix(sd, "cnn_backbone")
+    )
+    params = dict(variables["params"])
+    params["cnn_backbone"] = bb["params"]
+    params["adapt"] = _dense(sd, "adapt")
+    for i in range(model_cfg.vm_n_layer):
+        params[f"layer_{i}"] = {
+            "norm": {"weight": sd[f"layers.{i}.norm.weight"]},
+            "mixer": _port_mixer(_split_prefix(sd, f"layers.{i}.mixer")),
+        }
+    params["norm_f"] = {"weight": sd["norm_f.weight"]}
+    if model_cfg.classif_mode == "multiclass":
+        params["classifier"] = _dense(sd, "classifier")
+    else:
+        n = model_cfg.num_classes
+        params["classifier"] = {
+            "kernel": np.concatenate(
+                [sd[f"classifier.{i}.weight"] for i in range(n)]
+            ).T,
+            "bias": np.concatenate(
+                [sd[f"classifier.{i}.bias"] for i in range(n)]
+            ),
+        }
+
+    known = ["cnn_backbone.", "adapt.", "layers.", "norm_f.", "classifier."]
+    leftovers = sorted(
+        k for k in sd
+        if not any(k.startswith(p) for p in known)
+        and not k.endswith("num_batches_tracked")
+    )
+    if leftovers:
+        raise ValueError(f"Unconsumed state_dict tensors: {leftovers[:8]}...")
+
+    import jax
+
+    def check(path, a, b):
+        if tuple(np.shape(a)) != tuple(np.shape(b)):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            raise ValueError(
+                f"{name}: ported shape {np.shape(b)} != model {np.shape(a)}"
+            )
+
+    jax.tree_util.tree_map_with_path(
+        lambda p, a, b: check(p, a, b), variables["params"], params
+    )
     out = dict(variables)
     out["params"] = params
     if "batch_stats" in bb and bb["batch_stats"]:

@@ -21,6 +21,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--state_dict", required=True, help=".pth/.npz state_dict")
     p.add_argument("--out", required=True, help="output checkpoint dir")
+    p.add_argument("--model_family", default="lrcn",
+                   choices=["lrcn", "videomamba"])
     p.add_argument("--num_classes", type=int, required=True)
     p.add_argument("--sequence_length", type=int, required=True)
     p.add_argument("--cnn_backbone", default="resnet50")
@@ -37,6 +39,13 @@ def main(argv=None) -> int:
     p.add_argument("--img_width", type=int, default=80)
     p.add_argument("--classes", default="",
                    help="comma-separated class names for the manifest")
+    # videomamba-specific sizes (lrcn/videomamba.py defaults)
+    p.add_argument("--vm_d_model", type=int, default=512)
+    p.add_argument("--vm_d_inner", type=int, default=2048)
+    p.add_argument("--vm_n_state", type=int, default=16)
+    p.add_argument("--vm_dt_rank", type=int, default=16)
+    p.add_argument("--vm_n_layer", type=int, default=4)
+    p.add_argument("--vm_temporal_mode", default="mean")
     args = p.parse_args(argv)
 
     import jax
@@ -45,11 +54,14 @@ def main(argv=None) -> int:
     from vct.core.config import Config
     from vct.models import build_model
     from vct.models.backbones.port import load_state_dict_file
-    from vct.models.lrcn_port import port_reference_lrcn
+    from vct.models.lrcn_port import (
+        port_reference_lrcn,
+        port_reference_videomamba,
+    )
     from vct.train.checkpoint import save_checkpoint
 
     overrides = {
-        "model.model_family": "lrcn",
+        "model.model_family": args.model_family,
         "model.num_classes": str(args.num_classes),
         "model.cnn_backbone": args.cnn_backbone,
         "model.rnn_type": args.rnn_type,
@@ -62,6 +74,12 @@ def main(argv=None) -> int:
         "data.sequence_length": str(args.sequence_length),
         "data.img_height": str(args.img_height),
         "data.img_width": str(args.img_width),
+        "model.vm_d_model": str(args.vm_d_model),
+        "model.vm_d_inner": str(args.vm_d_inner),
+        "model.vm_n_state": str(args.vm_n_state),
+        "model.vm_dt_rank": str(args.vm_dt_rank),
+        "model.vm_n_layer": str(args.vm_n_layer),
+        "model.vm_temporal_mode": args.vm_temporal_mode,
     }
     if args.hidden_size is not None:
         overrides["model.hidden_size"] = str(args.hidden_size)
@@ -74,7 +92,9 @@ def main(argv=None) -> int:
     )
     variables = model.init(jax.random.PRNGKey(0), sample)
     sd = load_state_dict_file(args.state_dict)
-    ported = port_reference_lrcn(variables, sd, cfg.model)
+    porter = (port_reference_videomamba if args.model_family == "videomamba"
+              else port_reference_lrcn)
+    ported = porter(variables, sd, cfg.model)
 
     classes = (
         [c for c in args.classes.split(",") if c]
