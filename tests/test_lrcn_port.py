@@ -276,3 +276,89 @@ def test_port_reference_videomamba_logits():
     ported = port_reference_videomamba(variables, t_model.state_dict(), cfg.model)
     got = np.asarray(model.apply(ported, xj))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
+
+
+def test_port_reference_s2vt_logits():
+    """VideoAnalysisModel (beam_search.py:362-382) -> vct S2VTModel."""
+    from vct.caption.models import S2VTModel
+    from vct.models.lrcn_port import port_reference_s2vt
+
+    OUT, HID, VOCAB, MAXLEN = 12, 10, 9, 5
+
+    class TResNet18WithFC(TResNet18):
+        def __init__(self):
+            super().__init__()
+            self.fc = torch.nn.Linear(512, 1000)  # discarded, like torchvision
+
+    class TPretrainedCNN(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = TResNet18WithFC()
+            # the reference registers the SAME children twice
+            # (beam_search.py:265-267); duplicates must be tolerated
+            self.feature_extractor = torch.nn.Sequential(
+                *list(self.model.children())[:-1]
+            )
+            self.fc = torch.nn.Linear(512, OUT)
+
+        def forward(self, x):
+            return self.fc(self.model(x))  # TResNet18.forward skips its fc
+
+    class TVideoAnalysisModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cnn = TPretrainedCNN()
+            enc = torch.nn.Module()
+            enc.embedding = torch.nn.Linear(OUT, HID)
+            enc.gru = torch.nn.GRU(HID, HID, batch_first=True)
+            self.encoder = enc
+            dec = torch.nn.Module()
+            dec.embedding = torch.nn.Embedding(VOCAB, HID)
+            attn = torch.nn.Module()
+            attn.attn = torch.nn.Linear(HID, HID)
+            dec.attention = attn
+            dec.gru = torch.nn.GRU(2 * HID, HID, batch_first=True)
+            dec.out = torch.nn.Linear(HID, VOCAB)
+            self.decoder = dec
+
+        def forward(self, video, targets):
+            b, t = video.shape[:2]
+            feats = self.cnn(video.reshape(b * t, *video.shape[2:]))
+            feats = feats.reshape(b, t, -1)
+            enc_out, hidden = self.encoder.gru(self.encoder.embedding(feats))
+            token = torch.full((b,), 1, dtype=torch.long)  # <start>
+            logps = []
+            for i in range(targets.shape[1]):
+                emb = self.decoder.embedding(token)
+                # Luong general attention, query = current hidden
+                q = self.decoder.attention.attn(hidden.permute(1, 0, 2))
+                scores = torch.bmm(q, enc_out.permute(0, 2, 1))
+                w = torch.softmax(scores, dim=-1)
+                ctx = torch.bmm(w, enc_out)[:, 0]
+                gru_in = torch.cat([emb, ctx], dim=-1)[:, None, :]
+                out, hidden = self.decoder.gru(gru_in, hidden)
+                logits = self.decoder.out(out[:, 0])
+                logps.append(torch.log_softmax(logits, dim=-1))
+                token = targets[:, i]
+            return torch.stack(logps, dim=1)
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        t_model = TVideoAnalysisModel()
+        _randomize_bn_stats(t_model)
+        t_model.eval()
+        video = np.random.RandomState(1).rand(B, T, 3, H, W).astype(np.float32)
+        caps = np.random.RandomState(2).randint(0, VOCAB, (B, MAXLEN))
+        want = t_model(torch.from_numpy(video), torch.from_numpy(caps)).numpy()
+
+    model = S2VTModel(
+        vocab_size=VOCAB, cnn_backbone="resnet18", cnn_output_size=OUT,
+        hidden_size=HID, max_len=MAXLEN,
+    )
+    vj = jnp.asarray(np.transpose(video, (0, 1, 3, 4, 2)))
+    cj = jnp.asarray(caps)
+    variables = model.init(jax.random.PRNGKey(0), vj, cj)
+    ported = port_reference_s2vt(variables, t_model.state_dict())
+    got = np.asarray(model.apply(ported, vj, cj))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
+    assert float(np.max(np.abs(got - want))) < 5e-4

@@ -33,7 +33,11 @@ import numpy as np
 
 from vct.models.backbones.port import load_torch_backbone, torch_tensor_dict
 
-__all__ = ["port_reference_lrcn", "port_reference_videomamba"]
+__all__ = [
+    "port_reference_lrcn",
+    "port_reference_videomamba",
+    "port_reference_s2vt",
+]
 
 
 def _dense(sd, prefix):
@@ -232,4 +236,96 @@ def port_reference_videomamba(variables: dict, state_dict, model_cfg) -> dict:
     if "batch_stats" in bb and bb["batch_stats"]:
         out["batch_stats"] = dict(variables.get("batch_stats", {}))
         out["batch_stats"]["cnn_backbone"] = bb["batch_stats"]
+    return out
+
+
+def port_reference_s2vt(variables: dict, state_dict) -> dict:
+    """Port a reference VideoAnalysisModel state_dict
+    (``s2vt/beam_search.py:362-382``) into vct S2VTModel variables.
+
+    Key layout consumed: ``cnn.model.*`` (the torchvision backbone incl. its
+    discarded fc), ``cnn.fc.*`` (the projection), ``encoder.embedding/gru``,
+    ``decoder.embedding/attention.attn/gru/out``. The reference's
+    ``cnn.feature_extractor.*`` entries are duplicates of ``cnn.model.*``
+    (PretrainedCNN registers the same child modules twice,
+    beam_search.py:265-267) and are dropped.
+    """
+    sd = torch_tensor_dict(state_dict)
+    sd = {k: v for k, v in sd.items()
+          if not k.startswith("cnn.feature_extractor.")}
+
+    bb_sub = {
+        "params": variables["params"]["cnn"]["cnn"],
+        "batch_stats": variables.get("batch_stats", {})
+        .get("cnn", {}).get("cnn", {}),
+    }
+    from vct.models.backbones.port import PORTERS
+
+    # Infer the family from the checkpoint when possible; resnets share one
+    # porter, so default there (the reference's PretrainedCNN supports
+    # resnet50 / vgg16 / inception_v3 / mobilenet_v2).
+    bb_sd = _split_prefix(sd, "cnn.model")
+    if any(k.startswith("features.denseblock") for k in bb_sd):
+        family = "densenet121"
+    elif any(k.startswith("Mixed_") for k in bb_sd):
+        family = "inception_v3"
+    elif "features.18.0.weight" in bb_sd:
+        family = "mobilenet_v2"
+    elif "features.0.weight" in bb_sd:
+        family = "vgg16"
+    else:
+        family = "resnet50" if "layer1.0.conv3.weight" in bb_sd else "resnet18"
+    bb = PORTERS[family](bb_sub, bb_sd)
+
+    def gru_params(prefix):
+        out = {}
+        for kind in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            v = sd[f"{prefix}.{kind}_l0"]
+            out[f"{kind}_l0"] = np.transpose(v) if kind.startswith("weight") else v
+        return out
+
+    params = dict(variables["params"])
+    params["cnn"] = {"cnn": bb["params"], "fc": _dense(sd, "cnn.fc")}
+    params["encoder"] = {
+        "embedding": _dense(sd, "encoder.embedding"),
+        "gru": gru_params("encoder.gru"),
+    }
+    params["decoder"] = {
+        "embedding": {"embedding": sd["decoder.embedding.weight"]},
+        "attention": {"attn": _dense(sd, "decoder.attention.attn")},
+        "gru_w_ih": np.transpose(sd["decoder.gru.weight_ih_l0"]),
+        "gru_w_hh": np.transpose(sd["decoder.gru.weight_hh_l0"]),
+        "gru_b_ih": sd["decoder.gru.bias_ih_l0"],
+        "gru_b_hh": sd["decoder.gru.bias_hh_l0"],
+        "out": _dense(sd, "decoder.out"),
+    }
+
+    known = ["cnn.model.", "cnn.fc.", "encoder.", "decoder."]
+    leftovers = sorted(
+        k for k in sd
+        if not any(k.startswith(p) for p in known)
+        and not k.endswith("num_batches_tracked")
+    )
+    if leftovers:
+        raise ValueError(f"Unconsumed state_dict tensors: {leftovers[:8]}...")
+
+    import jax
+
+    def check(path, a, b):
+        if tuple(np.shape(a)) != tuple(np.shape(b)):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            raise ValueError(
+                f"{name}: ported shape {np.shape(b)} != model {np.shape(a)}"
+            )
+
+    jax.tree_util.tree_map_with_path(
+        lambda p, a, b: check(p, a, b), variables["params"], params
+    )
+    out = dict(variables)
+    out["params"] = params
+    if bb.get("batch_stats"):
+        out["batch_stats"] = dict(variables.get("batch_stats", {}))
+        cnn_bs = dict(out["batch_stats"].get("cnn", {}))
+        cnn_bs["cnn"] = bb["batch_stats"]
+        out["batch_stats"]["cnn"] = cnn_bs
     return out
