@@ -37,6 +37,9 @@ struct Decoder {
   AVFrame* frame = nullptr;
   int stream_idx = -1;
   int out_w = 0, out_h = 0;
+  // geometry the current SwsContext was built for (streams can change
+  // resolution/pixel format mid-file; the scaler must follow)
+  int sws_w = 0, sws_h = 0, sws_fmt = -1;
   bool eof_sent = false;   // drain packet delivered to the codec
   bool finished = false;   // codec fully drained
 };
@@ -53,12 +56,17 @@ void destroy(Decoder* d) {
 
 // Scale/convert the decoded frame into out (RGB24, out_h x out_w).
 bool emit(Decoder* d, uint8_t* out) {
-  if (!d->sws) {
+  if (!d->sws || d->frame->width != d->sws_w || d->frame->height != d->sws_h ||
+      d->frame->format != d->sws_fmt) {
+    if (d->sws) sws_freeContext(d->sws);
     d->sws = sws_getContext(
         d->frame->width, d->frame->height, (AVPixelFormat)d->frame->format,
         d->out_w, d->out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
         nullptr);
     if (!d->sws) return false;
+    d->sws_w = d->frame->width;
+    d->sws_h = d->frame->height;
+    d->sws_fmt = d->frame->format;
   }
   uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
   int dst_stride[4] = {d->out_w * 3, 0, 0, 0};

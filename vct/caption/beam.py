@@ -84,6 +84,12 @@ def _make_stepper(model, variables, video, max_len: int):
         return enc, state0, step
 
     if name == "TransformerCaptioner":
+        if max_len > model.max_len:
+            raise ValueError(
+                f"beam max_len={max_len} exceeds the transformer's "
+                f"max_len={model.max_len} (positions beyond it would "
+                "silently clamp)"
+            )
         enc = model.apply(variables, video, method=model.encode)
 
         def step(tokens_flat, i, state, enc_k):

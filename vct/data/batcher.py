@@ -45,9 +45,12 @@ def batches(
 def train_test_split(x, y, test_fraction: float = 0.2, seed: int = 42):
     """Deterministic permutation split (reference: sklearn
     train_test_split(test_size=0.2, random_state=42) at ucf50-lrcn.py:586-588,
-    and the permutation split at main.py:83-91). Same index split as
-    ``vct.data.loaders.split_indices`` (single source of truth)."""
-    from vct.data.loaders import split_indices
-
-    train_idx, test_idx = split_indices(len(x), test_fraction, seed)
+    and the permutation split at main.py:83-91). Rows come back in
+    PERMUTATION order (sklearn semantics); ``vct.data.loaders.split_indices``
+    draws the same membership from the same permutation, sorted for
+    sequential cache reads."""
+    n = len(x)
+    order = np.random.RandomState(seed).permutation(n)
+    n_test = int(round(n * test_fraction))
+    test_idx, train_idx = order[:n_test], order[n_test:]
     return x[train_idx], x[test_idx], y[train_idx], y[test_idx]

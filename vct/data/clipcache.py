@@ -35,12 +35,34 @@ def build_library(force: bool = False) -> str:
     if force or not os.path.exists(_LIB_PATH) or (
         os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
     ):
-        cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-            _SRC, "-o", _LIB_PATH,
-        ]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        _locked_build(_SRC, _LIB_PATH, [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC,
+        ])
     return _LIB_PATH
+
+def _locked_build(src: str, lib_path: str, cmd) -> None:
+    """Compile under an exclusive file lock with an atomic rename, so
+    concurrent processes (ParallelDecoder workers) never dlopen a
+    half-written library."""
+    import fcntl
+    import os as _os
+
+    lock_path = lib_path + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            # another process may have finished the build while we waited
+            if _os.path.exists(lib_path) and (
+                _os.path.getmtime(lib_path) >= _os.path.getmtime(src)
+            ):
+                return
+            tmp = lib_path + f".tmp.{_os.getpid()}"
+            subprocess.run(cmd + ["-o", tmp], check=True,
+                           capture_output=True, text=True)
+            _os.replace(tmp, lib_path)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
 
 
 def _load():

@@ -125,8 +125,12 @@ def decode_and_sample(
 
     if sampling_method == "uniform_seek":
         # Seek-decode only the T frames (backup_ucf50.py variant); fall back
-        # to the full decode + pad path for short clips or failed seeks.
-        frames = decode_uniform_seek(path, height, width, sequence_length)
+        # to the full decode + pad path for short clips, failed seeks, or
+        # cv2-free hosts (seeking needs cv2's VideoCapture).
+        try:
+            frames = decode_uniform_seek(path, height, width, sequence_length)
+        except ImportError:
+            frames = []
         if frames:
             clip = np.stack(frames).astype(np.float32 if normalize else np.uint8)
             if normalize:

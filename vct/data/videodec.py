@@ -41,12 +41,12 @@ def build_library(force: bool = False) -> str:
     if force or not os.path.exists(_LIB_PATH) or (
         os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
     ):
-        cmd = [
+        from vct.data.clipcache import _locked_build
+
+        _locked_build(_SRC, _LIB_PATH, [
             "g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
             "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
-            "-o", _LIB_PATH,
-        ]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        ])
     return _LIB_PATH
 
 

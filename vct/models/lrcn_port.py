@@ -82,6 +82,47 @@ def _port_mixer(sd_m):
     }
 
 
+
+
+def _finish_port(variables: dict, params: dict, sd: Dict[str, np.ndarray],
+                 known, bb: dict, bb_path) -> dict:
+    """Shared tail of every porter: consume-everything check, per-leaf shape
+    check against the fresh init, and assembly with the backbone batch_stats
+    grafted at ``bb_path`` (a tuple of tree keys)."""
+    leftovers = sorted(
+        k for k in sd
+        if not any(k.startswith(p) for p in known)
+        and not k.endswith("num_batches_tracked")
+    )
+    if leftovers:
+        raise ValueError(f"Unconsumed state_dict tensors: {leftovers[:8]}...")
+
+    import jax
+
+    def check(path, a, b):
+        if tuple(np.shape(a)) != tuple(np.shape(b)):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            raise ValueError(
+                f"{name}: ported shape {np.shape(b)} != model {np.shape(a)}"
+            )
+
+    jax.tree_util.tree_map_with_path(
+        lambda p, a, b: check(p, a, b), variables["params"], params
+    )
+
+    out = dict(variables)
+    out["params"] = params
+    if bb.get("batch_stats"):
+        stats = dict(variables.get("batch_stats", {}))
+        node = stats
+        for key in bb_path[:-1]:
+            node[key] = dict(node.get(key, {}))
+            node = node[key]
+        node[bb_path[-1]] = bb["batch_stats"]
+        out["batch_stats"] = stats
+    return out
+
+
 def port_reference_lrcn(variables: dict, state_dict, model_cfg) -> dict:
     """Port a reference LRCN state_dict into vct LRCN ``variables``.
 
@@ -145,34 +186,7 @@ def port_reference_lrcn(variables: dict, state_dict, model_cfg) -> dict:
         known += ["bn0.", "bna.", "bnb.", "fc.", "fca.", "fcb."]
     else:
         known += [f"fc.{i}." for i in range(model_cfg.num_classes)]
-    leftovers = sorted(
-        k for k in sd
-        if not any(k.startswith(p) for p in known)
-        and not k.endswith("num_batches_tracked")
-    )
-    if leftovers:
-        raise ValueError(f"Unconsumed state_dict tensors: {leftovers[:8]}...")
-
-    # Shape-check every ported leaf against the fresh init.
-    import jax
-
-    def check(path, a, b):
-        if tuple(np.shape(a)) != tuple(np.shape(b)):
-            name = "/".join(str(getattr(k, "key", k)) for k in path)
-            raise ValueError(
-                f"{name}: ported shape {np.shape(b)} != model {np.shape(a)}"
-            )
-
-    jax.tree_util.tree_map_with_path(
-        lambda p, a, b: check(p, a, b), variables["params"], params
-    )
-
-    out = dict(variables)
-    out["params"] = params
-    if "batch_stats" in bb and bb["batch_stats"]:
-        out["batch_stats"] = dict(variables.get("batch_stats", {}))
-        out["batch_stats"]["cnn_backbone"] = bb["batch_stats"]
-    return out
+    return _finish_port(variables, params, sd, known, bb, ("cnn_backbone",))
 
 
 def port_reference_videomamba(variables: dict, state_dict, model_cfg) -> dict:
@@ -211,32 +225,7 @@ def port_reference_videomamba(variables: dict, state_dict, model_cfg) -> dict:
         }
 
     known = ["cnn_backbone.", "adapt.", "layers.", "norm_f.", "classifier."]
-    leftovers = sorted(
-        k for k in sd
-        if not any(k.startswith(p) for p in known)
-        and not k.endswith("num_batches_tracked")
-    )
-    if leftovers:
-        raise ValueError(f"Unconsumed state_dict tensors: {leftovers[:8]}...")
-
-    import jax
-
-    def check(path, a, b):
-        if tuple(np.shape(a)) != tuple(np.shape(b)):
-            name = "/".join(str(getattr(k, "key", k)) for k in path)
-            raise ValueError(
-                f"{name}: ported shape {np.shape(b)} != model {np.shape(a)}"
-            )
-
-    jax.tree_util.tree_map_with_path(
-        lambda p, a, b: check(p, a, b), variables["params"], params
-    )
-    out = dict(variables)
-    out["params"] = params
-    if "batch_stats" in bb and bb["batch_stats"]:
-        out["batch_stats"] = dict(variables.get("batch_stats", {}))
-        out["batch_stats"]["cnn_backbone"] = bb["batch_stats"]
-    return out
+    return _finish_port(variables, params, sd, known, bb, ("cnn_backbone",))
 
 
 def port_reference_s2vt(variables: dict, state_dict) -> dict:
@@ -301,31 +290,4 @@ def port_reference_s2vt(variables: dict, state_dict) -> dict:
     }
 
     known = ["cnn.model.", "cnn.fc.", "encoder.", "decoder."]
-    leftovers = sorted(
-        k for k in sd
-        if not any(k.startswith(p) for p in known)
-        and not k.endswith("num_batches_tracked")
-    )
-    if leftovers:
-        raise ValueError(f"Unconsumed state_dict tensors: {leftovers[:8]}...")
-
-    import jax
-
-    def check(path, a, b):
-        if tuple(np.shape(a)) != tuple(np.shape(b)):
-            name = "/".join(str(getattr(k, "key", k)) for k in path)
-            raise ValueError(
-                f"{name}: ported shape {np.shape(b)} != model {np.shape(a)}"
-            )
-
-    jax.tree_util.tree_map_with_path(
-        lambda p, a, b: check(p, a, b), variables["params"], params
-    )
-    out = dict(variables)
-    out["params"] = params
-    if bb.get("batch_stats"):
-        out["batch_stats"] = dict(variables.get("batch_stats", {}))
-        cnn_bs = dict(out["batch_stats"].get("cnn", {}))
-        cnn_bs["cnn"] = bb["batch_stats"]
-        out["batch_stats"]["cnn"] = cnn_bs
-    return out
+    return _finish_port(variables, params, sd, known, bb, ("cnn", "cnn"))

@@ -77,7 +77,10 @@ class SweepRunner:
             )
         trainer = Trainer(cfg, class_names, class_weights=weights)
         state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), x_tr)
-        state, run = trainer.fit(state, x_tr, y_tr)
+        val = (x_te, y_te) if (
+            cfg.train.lr_plateau_factor or cfg.train.early_stop_patience
+        ) else None
+        state, run = trainer.fit(state, x_tr, y_tr, val=val)
         if cfg.train.save_model:
             save_checkpoint(
                 cfg.train.model_path,

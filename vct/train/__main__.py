@@ -71,7 +71,13 @@ def main(argv=None) -> int:
 
     trainer = Trainer(cfg, class_names, class_weights=weights)
     state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), x_train)
-    state, run = trainer.fit(state, x_train, y_train)
+    # The VideoMambaTrainer recipe monitors the held-out loss per epoch for
+    # the plateau scheduler / early stop (lrcn/mamba.py:374-420) — pass the
+    # held-out split as val when either monitor is configured.
+    val = (x_test, y_test) if (
+        cfg.train.lr_plateau_factor or cfg.train.early_stop_patience
+    ) else None
+    state, run = trainer.fit(state, x_train, y_train, val=val)
     if cfg.train.save_model:
         path = save_checkpoint(
             cfg.train.model_path,

@@ -61,7 +61,10 @@ def stream_train_eval(cfg: Config) -> Tuple[object, RunMetrics]:
         if sample_x.dtype == np.uint8:
             sample_x = sample_x.astype(np.float32) / 255.0
         state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), sample_x)
-        state, run = trainer.fit(state, train_loader)
+        val = test_loader if (
+            cfg.train.lr_plateau_factor or cfg.train.early_stop_patience
+        ) else None
+        state, run = trainer.fit(state, train_loader, val=val)
         if cfg.train.save_model:
             path = save_checkpoint(
                 cfg.train.model_path,
