@@ -13,6 +13,9 @@ Modes (env VCT_BENCH_MODE):
     the on-device pipeline (preprocess + forward). This machine reaches its
     TPU through a network tunnel (~40 MB/s), so host->device copies here
     would measure the tunnel, not a v5e host link.
+  * train — training throughput: the jitted donated train step (forward +
+    loss + backward + adam; backbone frozen like every reference config) on
+    the same model/shape. Reference record ~70 clips/s through training.
   * hostfed — every batch is device_put from host RAM inside the timed
     window, double-buffered against compute. On a real v5e host the copy
     (24.6 MB uint8/batch, ~1.5 ms at PCIe gen4) hides entirely under the
@@ -113,6 +116,49 @@ def main() -> int:
         x = raw.astype(jnp.bfloat16)
         logits = model.apply(variables, x)
         return jnp.argmax(logits, axis=-1)
+
+    if feed == "train":
+        # Training throughput on the same config: jitted donated train step
+        # (forward + loss + backward + adam) over synthetic labeled clips.
+        # Reference record: 365.96 s for 8 epochs x ~3200 train clips
+        # (~70 clips/s through training) on its GPU — BASELINE.md.
+        import numpy as np
+
+        from vct.train.engine import Trainer
+
+        metric = metric.replace("_infer_", "_train_")
+        baseline = 70.0  # 8 * 3200 / 365.96
+        cfg = cfg.replace(**{"train.batch_size": str(batch),
+                             "mesh.donate": "true"})
+        names = [f"c{i}" for i in range(cfg.model.num_classes)]
+        trainer = Trainer(cfg, names)
+        x = raw_u8.astype(np.float32) / 255.0
+        y = np.random.RandomState(1).randint(
+            0, cfg.model.num_classes, batch
+        ).astype(np.int64)
+        state = trainer.init_state(jax.random.PRNGKey(0), x)
+        step_fn = trainer._build_train_step()
+        xb = jax.device_put(jnp.asarray(x))
+        yb = jax.device_put(jnp.asarray(y))
+        mask = jax.device_put(jnp.ones((batch,), jnp.float32))
+        state, loss, _, _ = step_fn(state, xb, yb, mask)  # compile
+        np.asarray(loss)
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(iters):
+                state, loss, _, _ = step_fn(state, xb, yb, mask)
+            np.asarray(loss)
+            windows.append(time.perf_counter() - t0)
+        clips_per_sec = batch * iters / min(windows)
+        print(json.dumps({
+            "metric": metric,
+            "value": round(clips_per_sec, 2),
+            "unit": "clips/s",
+            "vs_baseline": round(clips_per_sec / baseline, 3),
+        }))
+        return 0
 
     if feed == "hostfed":
         metric += "_hostfed"
