@@ -122,8 +122,6 @@ def main() -> int:
         # (forward + loss + backward + adam) over synthetic labeled clips.
         # Reference record: 365.96 s for 8 epochs x ~3200 train clips
         # (~70 clips/s through training) on its GPU — BASELINE.md.
-        import numpy as np
-
         from vct.train.engine import Trainer
 
         metric = metric.replace("_infer_", "_train_")
