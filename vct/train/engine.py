@@ -419,7 +419,13 @@ class Trainer:
                 for _ in range(start_epoch):
                     rng.permutation(loader.num_examples)
         for epoch in range(start_epoch, t.epochs):
-            running_loss, correct, total, seen = 0.0, 0.0, 0.0, 0
+            # Per-step scalars stay ON DEVICE for the whole epoch: fetching
+            # loss each step forces a device->host sync that serializes the
+            # host-side batch gather against device compute (and costs a full
+            # round trip per step on remote-attached chips). One fetch per
+            # epoch; log_every opts back into per-step syncs for visibility.
+            step_stats = []  # [(loss, correct, total) device scalars]
+            step_bs = []  # valid rows per step (host-known from the mask)
             trace_ctx = device_trace(t.profile_dir if epoch == 0 else None)
             with trace_ctx:
                 for step_i, (xb, yb, mask) in enumerate(loader.epoch(rng)):
@@ -427,20 +433,28 @@ class Trainer:
                     xb, yb, mb = self._put_batch(xb, yb, mask, shard)
                     timer.start()
                     state, loss, c, n = step_fn(state, xb, yb, mb)
-                    loss_f = float(loss)  # forces completion for the timer
+                    sync = t.log_every and (step_i + 1) % t.log_every == 0
+                    if sync:
+                        loss_f = float(loss)  # forces completion for timing
                     timer.stop()
-                    bs = float(np.sum(mask))
-                    running_loss += loss_f * bs
-                    correct += float(c)
-                    total += float(n)
-                    seen += int(bs)
-                    if t.log_every and (step_i + 1) % t.log_every == 0:
+                    step_stats.append((loss, c, n))
+                    step_bs.append(float(np.sum(mask)))
+                    if sync:
                         print(
                             f"step {int(state.step)}: loss {loss_f:.4f} "
                             f"({timer.last_ms:.1f} ms/step)"
                         )
-            epoch_loss = running_loss / max(seen, 1)
-            epoch_acc = correct / max(total, 1)
+            # One stacked device->host fetch for the whole epoch; loss is each
+            # step's mean over valid rows, weighted by that step's valid count.
+            seen = int(sum(step_bs))
+            if step_stats:
+                losses, cs, ns = (
+                    np.asarray(jnp.stack(col)) for col in zip(*step_stats)
+                )
+                epoch_loss = float(np.dot(losses, np.asarray(step_bs))) / max(seen, 1)
+                epoch_acc = float(np.sum(cs)) / max(float(np.sum(ns)), 1.0)
+            else:
+                epoch_loss, epoch_acc = 0.0, 0.0
             run.epoch_losses.append(epoch_loss)
             run.epoch_accs.append(epoch_acc)
             if log:
