@@ -13,6 +13,29 @@ import sys
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
+def _machine_cache_dir(base: str) -> str:
+    """Per-CPU-fingerprint XLA cache dir.
+
+    XLA:CPU persists AOT executables compiled for the *build* machine's CPU
+    features; loading them on a host with different features warns about (and
+    can die of) SIGILL. Salting the dir with the host's cpuinfo flags makes a
+    stale cache from another machine invisible instead of fatal.
+    """
+    import hashlib
+    import platform
+
+    probe = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    probe += line
+                    break
+    except OSError:
+        pass
+    return f"{base}_{hashlib.md5(probe.encode()).hexdigest()[:10]}"
+
+
 def _needs_cpu_reexec() -> bool:
     return (
         os.environ.get("VCT_TEST_REEXEC") != "1"
@@ -36,7 +59,9 @@ def pytest_configure(config):
         env["XLA_FLAGS"] = (xla + " --xla_force_host_platform_device_count=8").strip()
     # Persistent XLA compile cache: most suite time is CPU compiles of the
     # same tiny models; repeat runs hit the cache.
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vct_jax_test_cache")
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", _machine_cache_dir("/tmp/vct_jax_test_cache")
+    )
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     argv = list(sys.orig_argv)
     argv[0] = sys.executable
