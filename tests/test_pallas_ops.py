@@ -8,7 +8,16 @@ import numpy as np
 import pytest
 
 from vct.models.ssm import selective_scan
-from vct.ops.lstm_pallas import gru_scan_pallas, lstm_scan_pallas, _gru_ref, _lstm_ref
+from vct.ops.lstm_pallas import (
+    gru_scan_pallas,
+    gru_stack_pallas,
+    lstm_scan_pallas,
+    lstm_stack_pallas,
+    _gru_ref,
+    _gru_stack_ref,
+    _lstm_ref,
+    _lstm_stack_ref,
+)
 from vct.ops.preprocess_pallas import normalize_frames_pallas
 
 
@@ -93,6 +102,59 @@ def test_lstm_module_pallas_impl_matches_torch_layout():
         np.asarray(m_pal.apply(params, x)),
         np.asarray(m_scan.apply(params, x)),
         atol=1e-5, rtol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("op,ref,gates", [
+    (lstm_stack_pallas, _lstm_stack_ref, 4),
+    (gru_stack_pallas, _gru_stack_ref, 3),
+])
+def test_rnn_stack_pallas_matches_ref(op, ref, gates):
+    B, T, H, L = 2, 9, 6, 3
+    rng = np.random.RandomState(0)
+    args = (
+        jnp.asarray(rng.randn(B, T, gates * H), jnp.float32),
+        jnp.asarray(rng.randn(L, H, gates * H) * 0.3, jnp.float32),
+        jnp.asarray(rng.randn(L, gates * H) * 0.1, jnp.float32),
+        jnp.asarray(rng.randn(L - 1, H, gates * H) * 0.3, jnp.float32),
+        jnp.asarray(rng.randn(L - 1, gates * H) * 0.1, jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(op(*args)), np.asarray(ref(*args)), atol=1e-5, rtol=1e-5
+    )
+    g = jax.grad(lambda *a: jnp.sum(op(*a) ** 2), argnums=tuple(range(5)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=tuple(range(5)))(*args)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("cls_name", ["LSTM", "GRU"])
+def test_rnn_module_fused_stack_matches_scan(cls_name):
+    """Unidirectional multi-layer scan_impl=pallas takes the single-launch
+    fused-stack kernel; same params (identical names/shapes) -> same output."""
+    from vct.models import recurrent
+
+    cls = getattr(recurrent, cls_name)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 7, 5), jnp.float32)
+    m_scan = cls(hidden_size=6, num_layers=3, scan_impl="scan")
+    params = m_scan.init(jax.random.PRNGKey(0), x)
+    m_pal = cls(hidden_size=6, num_layers=3, scan_impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(m_pal.apply(params, x)),
+        np.asarray(m_scan.apply(params, x)),
+        atol=1e-5, rtol=1e-5,
+    )
+    # gradients flow (custom_vjp remat path) and match the scan path
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x) ** 2)
+
+    g_pal = jax.grad(loss(m_pal))(params)
+    g_scan = jax.grad(loss(m_scan))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        ),
+        g_pal, g_scan,
     )
 
 

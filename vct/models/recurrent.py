@@ -99,8 +99,54 @@ class _RecurrentBase(nn.Module):
             return _lstm_scan(x_proj, w_hh, b_hh, h0, c0, reverse=reverse)
         return _gru_scan(x_proj, w_hh, b_hh, h0, reverse=reverse)
 
+    def _fused_stack(self, x):
+        """The whole unidirectional stack in ONE Pallas launch: layer-0 input
+        projection hoisted to a single MXU matmul, every inter-layer hop a
+        VMEM-resident matmul inside the kernel (``vct.ops.lstm_pallas``
+        stack kernels). Parameter names/shapes are identical to the layered
+        path, so checkpoints are interchangeable between the two."""
+        from vct.ops.lstm_pallas import gru_stack_pallas, lstm_stack_pallas
+
+        in_size = x.shape[-1]
+        H, G = self.hidden_size, self.n_gates
+        k = float(H) ** -0.5
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -k, k)
+
+        def p(name, layer, shape):
+            return self.param(f"{name}_l{layer}", init, shape)
+
+        w_ih0 = p("weight_ih", 0, (in_size, G * H))
+        b_ih0 = p("bias_ih", 0, (G * H,))
+        w_hh = [p("weight_hh", 0, (H, G * H))]
+        b_hh = [p("bias_hh", 0, (G * H,))]
+        w_ih, b_ih = [], []
+        for layer in range(1, self.num_layers):
+            w_ih.append(p("weight_ih", layer, (H, G * H)))
+            b_ih.append(p("bias_ih", layer, (G * H,)))
+            w_hh.append(p("weight_hh", layer, (H, G * H)))
+            b_hh.append(p("bias_hh", layer, (G * H,)))
+
+        xp0 = x @ w_ih0 + b_ih0  # (B, T, G*H) — one MXU matmul over B·T
+        op = lstm_stack_pallas if self.n_gates == 4 else gru_stack_pallas
+        y = op(
+            xp0,
+            jnp.stack(w_hh),
+            jnp.stack(b_hh),
+            jnp.stack(w_ih),
+            jnp.stack(b_ih),
+        )
+        return y.astype(x.dtype)
+
     @nn.compact
     def __call__(self, x):
+        if (
+            self.scan_impl == "pallas"
+            and not self.bidirectional
+            and self.num_layers >= 2
+        ):
+            return self._fused_stack(x)
         for layer in range(self.num_layers):
             fwd = self._direction(x, layer, "", reverse=False)
             if self.bidirectional:
