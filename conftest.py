@@ -11,29 +11,10 @@ import os
 import sys
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
-
-def _machine_cache_dir(base: str) -> str:
-    """Per-CPU-fingerprint XLA cache dir.
-
-    XLA:CPU persists AOT executables compiled for the *build* machine's CPU
-    features; loading them on a host with different features warns about (and
-    can die of) SIGILL. Salting the dir with the host's cpuinfo flags makes a
-    stale cache from another machine invisible instead of fatal.
-    """
-    import hashlib
-    import platform
-
-    probe = platform.machine()
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    probe += line
-                    break
-    except OSError:
-        pass
-    return f"{base}_{hashlib.md5(probe.encode()).hexdigest()[:10]}"
+from vct.utils.hostcache import machine_cache_dir  # noqa: E402
 
 
 def _needs_cpu_reexec() -> bool:
@@ -60,7 +41,7 @@ def pytest_configure(config):
     # Persistent XLA compile cache: most suite time is CPU compiles of the
     # same tiny models; repeat runs hit the cache.
     env.setdefault(
-        "JAX_COMPILATION_CACHE_DIR", _machine_cache_dir("/tmp/vct_jax_test_cache")
+        "JAX_COMPILATION_CACHE_DIR", machine_cache_dir("/tmp/vct_jax_test_cache")
     )
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     argv = list(sys.orig_argv)
@@ -74,7 +55,3 @@ def pytest_configure(config):
     rc = subprocess.run(argv, env=env).returncode
     # Exit with the child's code; os._exit skips pytest's own shutdown.
     os._exit(rc)
-
-
-if _REPO_ROOT not in sys.path:
-    sys.path.insert(0, _REPO_ROOT)

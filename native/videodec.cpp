@@ -20,12 +20,15 @@
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
+#include <libavutil/display.h>
 #include <libavutil/imgutils.h>
 #include <libswscale/swscale.h>
 }
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -37,6 +40,10 @@ struct Decoder {
   AVFrame* frame = nullptr;
   int stream_idx = -1;
   int out_w = 0, out_h = 0;
+  // Display-matrix rotation, degrees CLOCKWISE to apply after decode
+  // (OpenCV's auto-orientation convention); out_w/out_h are post-rotation.
+  int rot = 0;
+  std::vector<uint8_t> rot_buf;  // pre-rotation scaled frame when rot != 0
   // geometry the current SwsContext was built for (streams can change
   // resolution/pixel format mid-file; the scaler must follow)
   int sws_w = 0, sws_h = 0, sws_fmt = -1;
@@ -54,24 +61,59 @@ void destroy(Decoder* d) {
   delete d;
 }
 
-// Scale/convert the decoded frame into out (RGB24, out_h x out_w).
+// 90-degree-step rotation of an RGB24 image. src is sh rows x sw cols;
+// dst gets (sw x sh) for 90/270 and (sh x sw) for 180.
+void rotate_rgb24(const uint8_t* src, int sw, int sh, int rot, uint8_t* dst) {
+  if (rot == 90) {  // clockwise: dst[y][x] = src[sh-1-x][y]
+    for (int y = 0; y < sw; ++y)
+      for (int x = 0; x < sh; ++x)
+        std::memcpy(dst + (size_t)(y * sh + x) * 3,
+                    src + (size_t)((sh - 1 - x) * sw + y) * 3, 3);
+  } else if (rot == 180) {
+    for (int y = 0; y < sh; ++y)
+      for (int x = 0; x < sw; ++x)
+        std::memcpy(dst + (size_t)(y * sw + x) * 3,
+                    src + (size_t)((sh - 1 - y) * sw + (sw - 1 - x)) * 3, 3);
+  } else {  // 270: counterclockwise: dst[y][x] = src[x][sw-1-y]
+    for (int y = 0; y < sw; ++y)
+      for (int x = 0; x < sh; ++x)
+        std::memcpy(dst + (size_t)(y * sh + x) * 3,
+                    src + (size_t)(x * sw + (sw - 1 - y)) * 3, 3);
+  }
+}
+
+// Scale/convert the decoded frame into out (RGB24, out_h x out_w,
+// display-matrix rotation applied).
 bool emit(Decoder* d, uint8_t* out) {
+  // Pre-rotation scale target: rotation then maps it onto (out_h, out_w).
+  // A 90-degree-step rotation is a lossless pixel permutation, so in
+  // source-size mode (bit-exact contract) this stays pure format conversion
+  // and the rotation matches cv2's cv::rotate exactly.
+  const bool swap = d->rot == 90 || d->rot == 270;
+  const int sw = swap ? d->out_h : d->out_w;
+  const int sh = swap ? d->out_w : d->out_h;
   if (!d->sws || d->frame->width != d->sws_w || d->frame->height != d->sws_h ||
       d->frame->format != d->sws_fmt) {
     if (d->sws) sws_freeContext(d->sws);
     d->sws = sws_getContext(
         d->frame->width, d->frame->height, (AVPixelFormat)d->frame->format,
-        d->out_w, d->out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+        sw, sh, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
         nullptr);
     if (!d->sws) return false;
     d->sws_w = d->frame->width;
     d->sws_h = d->frame->height;
     d->sws_fmt = d->frame->format;
   }
-  uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
-  int dst_stride[4] = {d->out_w * 3, 0, 0, 0};
+  uint8_t* target = out;
+  if (d->rot != 0) {
+    d->rot_buf.resize((size_t)sw * sh * 3);
+    target = d->rot_buf.data();
+  }
+  uint8_t* dst[4] = {target, nullptr, nullptr, nullptr};
+  int dst_stride[4] = {sw * 3, 0, 0, 0};
   sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, d->frame->height,
             dst, dst_stride);
+  if (d->rot != 0) rotate_rgb24(target, sw, sh, d->rot, out);
   return true;
 }
 
@@ -110,11 +152,25 @@ void* vd_open(const char* path, int out_w, int out_h) {
     destroy(d);
     return nullptr;
   }
+  // Display-matrix rotation metadata (portrait phone/TikTok videos).
+  // OpenCV's convention (cap_ffmpeg_impl.hpp): negate av_display_rotation_get
+  // and normalize to [0, 360); the result is degrees to rotate CLOCKWISE,
+  // applied automatically by cv2.VideoCapture — mirror it for parity.
+  if (const uint8_t* sd = av_stream_get_side_data(
+          d->fmt->streams[d->stream_idx], AV_PKT_DATA_DISPLAYMATRIX,
+          nullptr)) {
+    double theta = -av_display_rotation_get((const int32_t*)sd);
+    theta -= 360 * std::floor(theta / 360 + 0.9 / 360);
+    int r = ((int)std::lround(theta)) % 360;
+    if (r == 90 || r == 180 || r == 270) d->rot = r;
+  }
   if (d->out_w <= 0 || d->out_h <= 0) {
     // Decode at source size: swscale then only converts the pixel format,
     // which is bit-identical to cv2's decode (the caller resizes).
-    d->out_w = d->codec->width;
-    d->out_h = d->codec->height;
+    // Post-rotation, a 90/270 source swaps width and height.
+    const bool swap = d->rot == 90 || d->rot == 270;
+    d->out_w = swap ? d->codec->height : d->codec->width;
+    d->out_h = swap ? d->codec->width : d->codec->height;
   }
   d->pkt = av_packet_alloc();
   d->frame = av_frame_alloc();

@@ -84,12 +84,22 @@ def test_step_timer_and_history(tmp_path):
     from vct.utils.profiling import StepTimer, write_history
 
     timer = StepTimer()
-    for _ in range(3):
-        timer.start()
-        timer.stop()
+    # one span of 2 steps + one span of 1 step -> 3 per-step samples
+    timer.start()
+    timer.step()
+    timer.step()
+    timer.sync()
+    timer.start()
+    timer.step()
+    timer.sync()
     summary = timer.summary()
     assert summary["steps"] == 3
     assert summary["mean_ms"] >= 0
+    # a span with no sync records nothing (dispatch-only latency is not a
+    # step time)
+    timer.start()
+    timer.step()
+    assert timer.summary()["steps"] == 3
 
     path = tmp_path / "hist.json"
     write_history(str(path), {"train_loss": [1.0, 0.5], "step_times": summary})

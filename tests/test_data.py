@@ -282,6 +282,68 @@ class TestNativeDecoder:
         b = np.stack(decode_video_native(video, 40, 48))
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.parametrize("rot", [90, 180, 270])
+    def test_rotation_metadata_matches_cv2(self, video, rot):
+        """Display-matrix rotation (portrait phone/TikTok videos): cv2
+        auto-applies it; the native decoder must match bit-exactly."""
+        import shutil
+        import struct
+
+        cv2 = pytest.importorskip("cv2")
+        from vct.data.video import decode_video
+        from vct.data.videodec import decode_video_native, is_available
+
+        if not is_available():
+            pytest.skip("native decoder did not build")
+
+        path = video + f".rot{rot}.mp4"
+        shutil.copy(video, path)
+        # Patch a 90-degree-step rotation into the mp4 track header's display
+        # matrix (no ffmpeg CLI in the image; the matrix IS the metadata).
+        data = bytearray(open(path, "rb").read())
+
+        def find_box(start, end, name):
+            off = start
+            while off + 8 <= end:
+                size, typ = struct.unpack_from(">I4s", data, off)
+                if size == 1:
+                    size = struct.unpack_from(">Q", data, off + 8)[0]
+                if typ == name:
+                    return off, size
+                if size < 8:
+                    break
+                off += size
+            raise AssertionError(f"{name} box not found")
+
+        moov, msz = find_box(0, len(data), b"moov")
+        trak, tsz = find_box(moov + 8, moov + msz, b"trak")
+        tkhd, _ = find_box(trak + 8, trak + tsz, b"tkhd")
+        version = data[tkhd + 8]
+        base = 8 + 4 + ((8 + 8 + 4 + 4 + 8) if version == 1
+                        else (4 + 4 + 4 + 4 + 4)) + 8 + 2 + 2 + 2 + 2
+        neg, one = (-(1 << 16)) & 0xFFFFFFFF, 1 << 16
+        mats = {
+            90: [0, one, 0, neg, 0, 0, 0, 0, 0x40000000],
+            180: [neg, 0, 0, 0, neg, 0, 0, 0, 0x40000000],
+            270: [0, neg, 0, one, 0, 0, 0, 0, 0x40000000],
+        }
+        struct.pack_into(">9I", data, tkhd + base, *mats[rot])
+        open(path, "wb").write(data)
+
+        cap = cv2.VideoCapture(path)
+        assert cap.get(cv2.CAP_PROP_ORIENTATION_META) in (rot, rot - 360)
+        cap.release()
+        swapped = rot in (90, 270)
+        src_h, src_w = (48, 40) if swapped else (40, 48)
+        a = np.stack(decode_video(path, src_h, src_w))
+        b = np.stack(decode_video_native(path, src_h, src_w))
+        assert a.shape[1:] == (src_h, src_w, 3)
+        np.testing.assert_array_equal(a, b)
+        # resized-decode parity holds through the rotation too
+        a = np.stack(decode_video(path, 24, 24))
+        b = np.stack(decode_video_native(path, 24, 24))
+        np.testing.assert_array_equal(a, b)
+
     def test_max_frames_and_swscale_mode(self, video):
         from vct.data.videodec import decode_video_native, is_available
 

@@ -395,6 +395,33 @@ class TestCheckpointAtomicity:
         litter = [f for f in _os.listdir(path) if f.endswith((".tmp", ".old"))]
         assert litter == []
 
+    def test_crash_between_renames_recovers(self, tmp_path):
+        """final missing + .old/.tmp present (the rename window) recovers."""
+        import os as _os
+        import shutil
+
+        import numpy as np
+
+        from vct.core.config import Config
+        from vct.train.checkpoint import load_checkpoint, save_checkpoint
+
+        cfg = Config()
+        path = str(tmp_path / "m")
+        save_checkpoint(path, {"params": {"w": np.ones(3, np.float32)}}, cfg, ["a"])
+        params_dir = _os.path.join(path, "params")
+        # crash state A: only .old survives
+        _os.rename(params_dir, params_dir + ".old")
+        loaded, _, _, _ = load_checkpoint(path)
+        np.testing.assert_array_equal(loaded["params"]["w"], np.ones(3))
+        # crash state B: both .old (previous) and .tmp (new, complete)
+        save_checkpoint(path, {"params": {"w": np.full(3, 2.0, np.float32)}},
+                        cfg, ["a"])
+        shutil.copytree(params_dir, params_dir + ".tmp")
+        _os.rename(params_dir, params_dir + ".old")
+        loaded, _, _, _ = load_checkpoint(path)
+        # .tmp (the newer complete save) wins
+        np.testing.assert_array_equal(loaded["params"]["w"], np.full(3, 2.0))
+
 
 def test_classify_videos_mesh_sharded():
     """Mesh-sharded batch inference equals the single-device result."""
@@ -425,30 +452,3 @@ def test_classify_videos_mesh_sharded():
     sharded = classify_videos(model, variables, clips, batch_size=4, mesh=mesh)
     assert sharded.shape == (10, cfg.model.num_classes)
     np.testing.assert_allclose(single, sharded, atol=1e-5, rtol=1e-5)
-
-    def test_crash_between_renames_recovers(self, tmp_path):
-        """final missing + .old/.tmp present (the rename window) recovers."""
-        import os as _os
-        import shutil
-
-        import numpy as np
-
-        from vct.core.config import Config
-        from vct.train.checkpoint import load_checkpoint, save_checkpoint
-
-        cfg = Config()
-        path = str(tmp_path / "m")
-        save_checkpoint(path, {"params": {"w": np.ones(3, np.float32)}}, cfg, ["a"])
-        params_dir = _os.path.join(path, "params")
-        # crash state A: only .old survives
-        _os.rename(params_dir, params_dir + ".old")
-        loaded, _, _, _ = load_checkpoint(path)
-        np.testing.assert_array_equal(loaded["params"]["w"], np.ones(3))
-        # crash state B: both .old (previous) and .tmp (new, complete)
-        save_checkpoint(path, {"params": {"w": np.full(3, 2.0, np.float32)}},
-                        cfg, ["a"])
-        shutil.copytree(params_dir, params_dir + ".tmp")
-        _os.rename(params_dir, params_dir + ".old")
-        loaded, _, _, _ = load_checkpoint(path)
-        # .tmp (the newer complete save) wins
-        np.testing.assert_array_equal(loaded["params"]["w"], np.full(3, 2.0))

@@ -170,6 +170,9 @@ def post_results(results: List[dict], backend_url: str) -> dict:
 
 _DEVICE_METHODS = {
     "uniform": "uniform",
+    # uniform_seek is plain uniform selection whose host path merely decodes
+    # by seeking; on device all frames are already decoded, so it is uniform.
+    "uniform_seek": "uniform",
     "ssim": "ssim",
     "sad": "sad",
     "optical_flow": "flow",

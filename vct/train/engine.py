@@ -429,14 +429,15 @@ class Trainer:
             trace_ctx = device_trace(t.profile_dir if epoch == 0 else None)
             with trace_ctx:
                 for step_i, (xb, yb, mask) in enumerate(loader.epoch(rng)):
+                    timer.start()  # opens a sync-to-sync span (no-op mid-span)
                     xb, yb, mask = self._pad_batch(xb, yb, mask)
                     xb, yb, mb = self._put_batch(xb, yb, mask, shard)
-                    timer.start()
                     state, loss, c, n = step_fn(state, xb, yb, mb)
+                    timer.step()
                     sync = t.log_every and (step_i + 1) % t.log_every == 0
                     if sync:
                         loss_f = float(loss)  # forces completion for timing
-                    timer.stop()
+                        timer.sync()
                     step_stats.append((loss, c, n))
                     step_bs.append(float(np.sum(mask)))
                     if sync:
@@ -451,6 +452,7 @@ class Trainer:
                 losses, cs, ns = (
                     np.asarray(jnp.stack(col)) for col in zip(*step_stats)
                 )
+                timer.sync()  # the stacked fetch above completed every step
                 epoch_loss = float(np.dot(losses, np.asarray(step_bs))) / max(seen, 1)
                 epoch_acc = float(np.sum(cs)) / max(float(np.sum(ns)), 1.0)
             else:

@@ -34,17 +34,38 @@ def device_trace(log_dir: Optional[str]):
 
 
 class StepTimer:
+    """Step timing that is truthful under async dispatch.
+
+    JAX step calls return as soon as the work is *enqueued*; the only
+    observable walltime is between device->host sync points. So the timer
+    measures sync-to-sync spans: ``start()`` opens a span (no-op if one is
+    already open), ``step()`` counts a dispatched step, and ``sync()`` —
+    called immediately after a real value fetch — closes the span and
+    records elapsed/steps once per counted step. With a sync every step
+    (``log_every=1``) this is exact per-step walltime; with one fetch per
+    epoch it is the exact epoch-mean step time. Never records bare dispatch
+    latency.
+    """
+
     def __init__(self):
         self.times: List[float] = []
         self._t0: Optional[float] = None
+        self._steps: int = 0
 
     def start(self):
-        self._t0 = time.perf_counter()
+        if self._t0 is None:
+            self._t0 = time.perf_counter()
 
-    def stop(self):
-        if self._t0 is not None:
-            self.times.append(time.perf_counter() - self._t0)
-            self._t0 = None
+    def step(self):
+        self._steps += 1
+
+    def sync(self):
+        """Close the span at a device->host sync; attribute time per step."""
+        if self._t0 is not None and self._steps:
+            per_step = (time.perf_counter() - self._t0) / self._steps
+            self.times.extend([per_step] * self._steps)
+        self._t0 = None
+        self._steps = 0
 
     @property
     def last_ms(self) -> float:
