@@ -341,6 +341,18 @@ void ccl_next_epoch(void* handle) {
   ld->start_epoch();
 }
 
+// Jump the shuffle stream to a given epoch index (checkpoint resume: the
+// per-epoch shuffle is seed + epoch * const, so a resumed run replays the
+// exact permutations an uninterrupted run would see).
+void ccl_set_epoch(void* handle, int64_t epoch) {
+  auto* ld = (Loader*)handle;
+  ld->join_workers();
+  for (auto& kv : ld->ready) ld->free_slots.push(kv.second);
+  ld->ready.clear();
+  ld->epoch = epoch;
+  ld->start_epoch();
+}
+
 void ccl_close(void* handle) {
   auto* ld = (Loader*)handle;
   ld->join_workers();

@@ -50,6 +50,28 @@ def test_shuffled_epochs_cover_all_and_differ(tmp_path):
     assert orders[0] != orders[1]  # reshuffled between epochs
 
 
+def test_set_epoch_replays_shuffle_stream(tmp_path):
+    """set_epoch(k) on a FRESH loader reproduces epoch k's permutation of an
+    uninterrupted run — the checkpoint-resume reproducibility contract."""
+    clips, labels = _data(n=30)
+    path = str(tmp_path / "c.vctc")
+    write_clipcache(path, clips, labels)
+
+    def epoch_order(loader):
+        got = []
+        for xb, _ in loader.epoch():
+            got.extend(int(x.sum()) for x in xb)
+        return got
+
+    with ClipCacheLoader(path, batch_size=7, shuffle=True, seed=3,
+                         workers=2) as loader:
+        uninterrupted = [epoch_order(loader) for _ in range(3)]
+    with ClipCacheLoader(path, batch_size=7, shuffle=True, seed=3,
+                         workers=2) as resumed:
+        resumed.set_epoch(2)
+        assert epoch_order(resumed) == uninterrupted[2]
+
+
 def test_float_label_vectors(tmp_path):
     rng = np.random.RandomState(0)
     clips = rng.randint(0, 256, (10, 2, 8, 8, 3), np.uint8)
@@ -108,6 +130,32 @@ def test_ingest_clipcache_format(tmp_path):
     assert float(x.max()) <= 1.0
     np.testing.assert_array_equal(y, labels)
     assert classes == ["a", "b", "c", "d"]
+
+
+def test_ensure_cache_rejects_stale_geometry(tmp_path):
+    """The cache filename keys only (max_videos, seq, sampling) — a config
+    whose img size or classif_mode changed must refuse the stale cache
+    instead of silently training on wrong-resolution clips."""
+    from vct.core.config import Config
+    from vct.data.ingest import ensure_cache
+
+    cfg = Config().replace(**{
+        "data.processed_data_path": str(tmp_path),
+        "data.cache_format": "clipcache",
+        "data.sequence_length": "4",
+        "data.img_height": "16",
+        "data.img_width": "16",
+    })
+    clips, labels = _data(n=6, t=4, h=16, w=16)
+    write_clipcache(cfg.data.data_file, clips, labels)
+    np.save(cfg.data.classes_file, np.asarray(["a", "b", "c", "d"]))
+    ensure_cache(cfg)  # matching geometry: fine
+    stale = cfg.replace(**{"data.img_height": "32", "data.img_width": "32"})
+    with pytest.raises(ValueError, match="stale cache"):
+        ensure_cache(stale)
+    multilabel = cfg.replace(**{"model.classif_mode": "multiple_binary"})
+    with pytest.raises(ValueError, match="stale cache"):
+        ensure_cache(multilabel)
 
 
 def test_fit_stream_trains(tmp_path):

@@ -370,7 +370,7 @@ class TestCheckpointAtomicity:
         with open(_os.path.join(path, "train_manifest.json"), "w") as f:
             _json.dump({"epoch": 3, "config": {}, "class_names": []}, f)
         sentinel = object()
-        state, epoch = load_train_state(path, sentinel)
+        state, epoch, _ = load_train_state(path, sentinel)
         assert state is sentinel and epoch == 0
 
     def test_save_twice_and_reload(self, tmp_path):

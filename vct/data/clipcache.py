@@ -91,6 +91,8 @@ def _load():
     lib.ccl_next.argtypes = [p, u8p, u8p, i64]
     lib.ccl_next_epoch.restype = None
     lib.ccl_next_epoch.argtypes = [p]
+    lib.ccl_set_epoch.restype = None
+    lib.ccl_set_epoch.argtypes = [p, i64]
     lib.ccl_close.restype = None
     lib.ccl_close.argtypes = [p]
     _lib = lib
@@ -167,6 +169,12 @@ class ClipCacheLoader:
     @property
     def num_batches(self) -> int:
         return self._lib.ccl_num_batches(self._handle)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Jump the native shuffle stream to ``epoch`` (checkpoint resume):
+        each epoch's permutation is a pure function of (seed, epoch), so a
+        resumed run replays exactly what an uninterrupted run would see."""
+        self._lib.ccl_set_epoch(self._handle, epoch)
 
     def epoch(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield (clips uint8 (n,T,H,W,C), labels) for one epoch, then

@@ -178,10 +178,44 @@ def load_dataset_cache(cfg: Config) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     return x, y, classes
 
 
+def _check_cache_compatible(cfg: Config) -> None:
+    """Reject an existing cache whose geometry/labels don't match the config.
+
+    The cache filename convention (all_config.py:32-35 parity) keys only
+    (max_videos, seq_len, sampling) — img size and classif_mode changes would
+    otherwise silently reuse stale clips of the wrong resolution or labels of
+    the wrong kind (the fully-convolutional backbones accept any size, so
+    nothing downstream would catch it)."""
+    d = cfg.data
+    want = (d.sequence_length, d.img_height, d.img_width)
+    multilabel = cfg.model.classif_mode == "multiple_binary"
+    if d.cache_format == "clipcache":
+        from vct.data.loaders import _read_cc_header
+
+        hd = _read_cc_header(d.data_file)
+        got = (int(hd["t"]), int(hd["h"]), int(hd["w"]))
+        got_multi = int(hd["label_kind"]) != 0
+    else:
+        import h5py
+
+        with h5py.File(d.data_file, "r") as hf:
+            got = tuple(int(s) for s in hf["videos"].shape[1:4])
+            got_multi = hf["labels"].ndim > 1
+    if got != want or got_multi != multilabel:
+        raise ValueError(
+            f"cache {d.data_file} was built with (T,H,W)={got}, "
+            f"multilabel={got_multi}, but the config wants (T,H,W)={want}, "
+            f"multilabel={multilabel}. Delete the stale cache or point "
+            "data.data_file elsewhere."
+        )
+
+
 def ensure_cache(cfg: Config) -> None:
-    """Build the configured dataset cache if it does not exist yet."""
+    """Build the configured dataset cache if it does not exist yet; refuse
+    an existing cache that is incompatible with the config."""
     d = cfg.data
     if os.path.exists(d.data_file) and os.path.exists(d.classes_file):
+        _check_cache_compatible(cfg)
         return
     if not d.dataset_path:
         raise ValueError(

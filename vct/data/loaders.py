@@ -141,6 +141,13 @@ def _epoch_order(n: int, rng: Optional[np.random.RandomState]) -> np.ndarray:
     return rng.permutation(n) if rng is not None else np.arange(n)
 
 
+def _read_cc_header(path: str):
+    hd = np.fromfile(path, dtype=_CC_HEADER_DTYPE, count=1)
+    if hd.size != 1 or hd[0]["magic"] != _CC_MAGIC:
+        raise IOError(f"{path} is not a clip cache")
+    return hd[0]
+
+
 class ClipCacheMapLoader:
     """mmap view of the native clip cache with index subsets.
 
@@ -153,9 +160,7 @@ class ClipCacheMapLoader:
     def __init__(self, path: str, batch_size: int,
                  indices: Optional[np.ndarray] = None):
         self.batch_size = batch_size
-        hd = np.fromfile(path, dtype=_CC_HEADER_DTYPE, count=1)[0]
-        if hd["magic"] != _CC_MAGIC:
-            raise IOError(f"{path} is not a clip cache")
+        hd = _read_cc_header(path)
         n = int(hd["num_clips"])
         t, h, w, c = (int(hd[k]) for k in ("t", "h", "w", "c"))
         label_kind, label_dim = int(hd["label_kind"]), int(hd["label_dim"])
@@ -202,13 +207,18 @@ class ClipCacheMapLoader:
 class ClipCacheStream:
     """Adapter over the native multithreaded prefetch loader
     (``vct.data.clipcache.ClipCacheLoader``): full-dataset epochs at maximum
-    throughput. The native side owns shuffling (seeded); the engine's rng is
-    still consumed once per epoch to keep the resume fast-forward contract."""
+    throughput. The native side owns shuffling (per-epoch permutation is a
+    pure function of (seed, epoch)); the engine's rng is still consumed once
+    per epoch so rng-based loaders stay in lockstep, and ``set_epoch``
+    forwards the resume fast-forward to the native shuffle stream."""
 
     def __init__(self, loader):
         self.loader = loader
         self.batch_size = loader.batch_size
         self.num_examples = int(loader.num_clips)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.loader.set_epoch(epoch)
 
     def epoch(self, rng: Optional[np.random.RandomState] = None) -> Iterator[Batch]:
         if rng is not None:
@@ -243,8 +253,7 @@ def cache_num_examples(cfg) -> int:
     """Number of examples in the configured cache without loading it."""
     d = cfg.data
     if d.cache_format == "clipcache":
-        hd = np.fromfile(d.data_file, dtype=_CC_HEADER_DTYPE, count=1)[0]
-        return int(hd["num_clips"])
+        return int(_read_cc_header(d.data_file)["num_clips"])
     import h5py
 
     with h5py.File(d.data_file, "r") as hf:

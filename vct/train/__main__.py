@@ -49,6 +49,8 @@ def main(argv=None) -> int:
     config_path = None
     if "--config" in argv:
         i = argv.index("--config")
+        if i + 1 >= len(argv):
+            raise SystemExit("--config requires a path argument")
         config_path = argv[i + 1]
         del argv[i : i + 2]
     cfg = load_config(config_path, parse_cli_overrides(argv))

@@ -98,9 +98,11 @@ def save_checkpoint(
 
 
 def save_train_state(path: str, state, cfg: Config, class_names: List[str],
-                     epoch: int) -> str:
+                     epoch: int, extra: Optional[dict] = None) -> str:
     """Save the FULL train state (params + extra collections + optimizer
-    moments + rng + step) for crash-tolerant epoch resume."""
+    moments + rng + step) for crash-tolerant epoch resume. ``extra`` is a
+    small JSON-safe dict carried in the manifest (early-stop / LR-plateau
+    counters, so a resumed run replays them exactly)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -118,27 +120,29 @@ def save_train_state(path: str, state, cfg: Config, class_names: List[str],
     # pointing a newer manifest at a missing checkpoint.
     _atomic_json_write(
         os.path.join(path, "train_manifest.json"),
-        {"epoch": epoch, "config": cfg.to_dict(), "class_names": class_names},
+        {"epoch": epoch, "config": cfg.to_dict(),
+         "class_names": class_names, "extra": extra or {}},
     )
     return path
 
 
-def load_train_state(path: str, state) -> Tuple[Any, int]:
+def load_train_state(path: str, state) -> Tuple[Any, int, dict]:
     """Restore a full train state into the (freshly initialized) ``state``
-    template; returns (state, completed_epochs). (0 if no checkpoint.)"""
+    template; returns (state, completed_epochs, extra). ((state, 0, {}) if
+    no checkpoint.)"""
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
     manifest_path = os.path.join(path, "train_manifest.json")
     if not os.path.exists(manifest_path):
-        return state, 0
+        return state, 0, {}
     _recover_checkpoint_dir(os.path.join(path, "train_state"))
     if not os.path.exists(os.path.join(path, "train_state")):
         # Stale manifest without a state (interrupted save): start fresh
         # instead of crashing the resume.
         print(f"warning: {path} has a manifest but no train_state; "
               "starting from epoch 0")
-        return state, 0
+        return state, 0, {}
     with open(manifest_path) as f:
         manifest = json.load(f)
     target = {
@@ -154,7 +158,7 @@ def load_train_state(path: str, state) -> Tuple[Any, int]:
     except Exception as e:
         print(f"warning: could not restore train_state from {path} ({e}); "
               "starting from epoch 0")
-        return state, 0
+        return state, 0, {}
     as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     state = state.replace(
         params=as_jnp(tree["params"]),
@@ -163,7 +167,7 @@ def load_train_state(path: str, state) -> Tuple[Any, int]:
         rng=jnp.asarray(tree["rng"]),
         step=jnp.asarray(tree["step"]),
     )
-    return state, int(manifest["epoch"])
+    return state, int(manifest["epoch"]), manifest.get("extra", {})
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Config, List[str], dict]:

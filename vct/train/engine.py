@@ -410,7 +410,7 @@ class Trainer:
         if t.resume:
             from vct.train.checkpoint import load_train_state, save_train_state
 
-            state, start_epoch = load_train_state(t.model_path, state)
+            state, start_epoch, saved = load_train_state(t.model_path, state)
             if start_epoch:
                 print(f"Resuming training from epoch {start_epoch}")
                 # Fast-forward the shuffle stream so epoch k sees the same
@@ -418,6 +418,17 @@ class Trainer:
                 # consumes exactly one permutation per epoch).
                 for _ in range(start_epoch):
                     rng.permutation(loader.num_examples)
+                if hasattr(loader, "set_epoch"):
+                    # Native-shuffle loaders: jump their (seed, epoch)-keyed
+                    # permutation stream to the resume point too.
+                    loader.set_epoch(start_epoch)
+                # Early-stop / LR-plateau counters continue where they were,
+                # not from fresh values (a resumed run must behave like an
+                # uninterrupted one).
+                best_loss = saved.get("best_loss", best_loss)
+                bad_epochs = saved.get("bad_epochs", bad_epochs)
+                plateau_best = saved.get("plateau_best", plateau_best)
+                plateau_bad = saved.get("plateau_bad", plateau_bad)
         for epoch in range(start_epoch, t.epochs):
             # Per-step scalars stay ON DEVICE for the whole epoch: fetching
             # loss each step forces a device->host sync that serializes the
@@ -494,20 +505,27 @@ class Trainer:
                             print(f"Reducing learning rate to {new_lr:.3e}")
             if t.resume:
                 save_train_state(
-                    t.model_path, state, self.cfg, self.class_names, epoch + 1
+                    t.model_path, state, self.cfg, self.class_names, epoch + 1,
+                    extra={
+                        "best_loss": best_loss, "bad_epochs": bad_epochs,
+                        "plateau_best": plateau_best,
+                        "plateau_bad": plateau_bad,
+                    },
                 )
             if stop:
                 break
 
         run.training_duration = time.time() - start
+        # Param counts are data consumed downstream (RunMetrics -> sweep
+        # stores), not logging — compute them regardless of `log`.
+        counts = count_parameters(
+            state.params, self.cfg.model.finetune, self.cfg.model.freeze_until
+        )
+        run.trainable_params = counts["Trainable parameters"]
+        run.non_trainable_params = counts["Non-trainable parameters"]
+        run.total_params = counts["Total parameters"]
         if log:
             print_training_duration(run.training_duration)
-            counts = count_parameters(
-                state.params, self.cfg.model.finetune, self.cfg.model.freeze_until
-            )
-            run.trainable_params = counts["Trainable parameters"]
-            run.non_trainable_params = counts["Non-trainable parameters"]
-            run.total_params = counts["Total parameters"]
             print_param_counts(run.trainable_params, run.non_trainable_params)
         if t.history_path:
             # per-epoch history JSON (lrcn/training_history.json counterpart)
@@ -540,14 +558,19 @@ class Trainer:
         total/len(loader) aggregation, mamba.py:316-324)."""
         if self._val_step is None:
             self._val_step = self._build_val_step()
+        # Device scalars accumulate; ONE fetch at the end (a per-batch
+        # float() would serialize host gather against device compute, the
+        # same sync the train loop avoids).
         losses = []
         for xb, yb, mask in val_loader.epoch():
             xb, yb, mask = self._pad_batch(xb, yb, mask)
             xd, yd, md = self._put_batch(xb, yb, mask, shard)
             losses.append(
-                float(self._val_step(state.params, state.extra_vars, xd, yd, md))
+                self._val_step(state.params, state.extra_vars, xd, yd, md)
             )
-        return float(np.mean(losses)) if losses else 0.0
+        if not losses:
+            return 0.0
+        return float(np.mean(np.asarray(jnp.stack(losses))))
 
     # ------------------------------------------------------------------
     def fit_stream(self, state: TrainState, loader, log: bool = True):
@@ -580,17 +603,27 @@ class Trainer:
         start = time.time()
         n_examples = 0
         if self.classif_mode == "multiclass":
-            confusion = np.zeros((self.num_classes, self.num_classes))
+            # Per-batch results stay on device; one stacked fetch at the end
+            # (a per-batch np.asarray would sync each step).
+            confs = []
             for xb, yb, mask in loader.epoch():
                 n_valid = int(mask.sum())
                 n_examples += n_valid
                 xb, yb_h, mask = self._pad_batch(xb, yb, mask)
                 xd, yd, md = self._put_batch(xb, yb_h, mask, shard)
                 conf, probs = eval_fn(state.params, state.extra_vars, xd, yd, md)
-                confusion += np.asarray(conf)
+                confs.append(conf)
                 if want_auc:
-                    auc_probs.append(np.asarray(probs)[:n_valid])
+                    auc_probs.append((probs, n_valid))
                     auc_labels.append(yb[:n_valid])
+            confusion = (
+                np.sum(np.asarray(jnp.stack(confs)), axis=0)
+                if confs
+                else np.zeros((self.num_classes, self.num_classes))
+            )
+            if auc_probs:
+                fetched = np.asarray(jnp.stack([p for p, _ in auc_probs]))
+                auc_probs = [row[:k] for row, (_, k) in zip(fetched, auc_probs)]
             metrics = multiclass_metrics(confusion, self.class_names)
             if auc_probs:
                 from vct.train.metrics import macro_auc
@@ -603,15 +636,19 @@ class Trainer:
                 if log:
                     print(f"AUC: {auc:.4f}")
         else:
-            counts = np.zeros((self.num_classes, 4))
-            exact = 0.0
+            batch_counts, batch_exact = [], []
             for xb, yb, mask in loader.epoch():
                 n_examples += int(mask.sum())
                 xb, yb, mask = self._pad_batch(xb, yb, mask)
                 xd, yd, md = self._put_batch(xb, yb, mask, shard)
                 c, e = eval_fn(state.params, state.extra_vars, xd, yd, md)
-                counts += np.asarray(c)
-                exact += float(e)
+                batch_counts.append(c)
+                batch_exact.append(e)
+            if batch_counts:
+                counts = np.sum(np.asarray(jnp.stack(batch_counts)), axis=0)
+                exact = float(np.sum(np.asarray(jnp.stack(batch_exact))))
+            else:
+                counts, exact = np.zeros((self.num_classes, 4)), 0.0
             metrics = multilabel_metrics(
                 counts, exact, float(n_examples), self.class_names
             )

@@ -44,6 +44,12 @@ def stream_train_eval(cfg: Config) -> Tuple[object, RunMetrics]:
     train_idx, test_idx = split_indices(
         n, cfg.data.val_fraction, cfg.data.split_seed
     )
+    if len(train_idx) == 0:
+        raise ValueError(
+            f"empty train split: cache {cfg.data.data_file} has {n} clips and "
+            f"data.val_fraction={cfg.data.val_fraction} leaves none for "
+            "training"
+        )
     train_loader = open_cache_loader(cfg, train_idx)
     test_loader = open_cache_loader(cfg, test_idx)
     print(f"Train: {len(train_idx)} clips, Test: {len(test_idx)} clips "
