@@ -67,17 +67,24 @@ class _RecurrentBase(nn.Module):
 
     n_gates: int = 0  # overridden
 
-    def _direction(self, x, layer, suffix, reverse):
-        """One direction of one layer. x: (B, T, in)."""
-        in_size = x.shape[-1]
-        H, G = self.hidden_size, self.n_gates
-        k = float(H) ** -0.5  # torch init: U(-1/sqrt(H), 1/sqrt(H))
+    def _param(self, name, layer, suffix, shape):
+        """torch-convention param: ``{name}_l{layer}{suffix}`` with the
+        U(-1/sqrt(H), 1/sqrt(H)) init — the ONE place both the layered and
+        fused paths get their (checkpoint-interchangeable) parameters."""
+        k = float(self.hidden_size) ** -0.5
 
         def init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -k, k)
 
+        return self.param(f"{name}_l{layer}{suffix}", init, shape)
+
+    def _direction(self, x, layer, suffix, reverse):
+        """One direction of one layer. x: (B, T, in)."""
+        in_size = x.shape[-1]
+        H, G = self.hidden_size, self.n_gates
+
         def p(name, shape):
-            return self.param(f"{name}_l{layer}{suffix}", init, shape)
+            return self._param(name, layer, suffix, shape)
 
         w_ih = p("weight_ih", (in_size, G * H))
         w_hh = p("weight_hh", (H, G * H))
@@ -109,13 +116,9 @@ class _RecurrentBase(nn.Module):
 
         in_size = x.shape[-1]
         H, G = self.hidden_size, self.n_gates
-        k = float(H) ** -0.5
-
-        def init(key, shape, dtype=jnp.float32):
-            return jax.random.uniform(key, shape, dtype, -k, k)
 
         def p(name, layer, shape):
-            return self.param(f"{name}_l{layer}", init, shape)
+            return self._param(name, layer, "", shape)
 
         w_ih0 = p("weight_ih", 0, (in_size, G * H))
         b_ih0 = p("bias_ih", 0, (G * H,))
@@ -130,14 +133,15 @@ class _RecurrentBase(nn.Module):
 
         xp0 = x @ w_ih0 + b_ih0  # (B, T, G*H) — one MXU matmul over B·T
         op = lstm_stack_pallas if self.n_gates == 4 else gru_stack_pallas
-        y = op(
+        # No cast back to x.dtype: every scan_impl/num_layers path returns
+        # the kernel's float32, so output dtype never depends on dispatch.
+        return op(
             xp0,
             jnp.stack(w_hh),
             jnp.stack(b_hh),
             jnp.stack(w_ih),
             jnp.stack(b_ih),
         )
-        return y.astype(x.dtype)
 
     @nn.compact
     def __call__(self, x):

@@ -48,6 +48,32 @@ __all__ = [
 ]
 
 
+# The ONE copy of the torch-semantics cell math, shared by the per-layer and
+# fused-stack kernels (a gate-order or precision fix lands everywhere).
+
+
+def _lstm_cell(xp_t, whh, bhh, h, c, H):
+    """One LSTM step on gate pre-activations xp_t (B, 4H); returns (h, c)."""
+    gates = (
+        xp_t + jnp.dot(h, whh, preferred_element_type=jnp.float32) + bhh
+    )
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c = f * c + i * g
+    return o * jnp.tanh(c), c
+
+
+def _gru_cell(xp_t, whh, bhh, h, H):
+    """One GRU step; torch semantics: n = tanh(xn + r * (h @ W_hn + b_hn))."""
+    hh = jnp.dot(h, whh, preferred_element_type=jnp.float32) + bhh
+    r = jax.nn.sigmoid(xp_t[:, :H] + hh[:, :H])
+    z = jax.nn.sigmoid(xp_t[:, H : 2 * H] + hh[:, H : 2 * H])
+    n = jnp.tanh(xp_t[:, 2 * H :] + r * hh[:, 2 * H :])
+    return (1.0 - z) * n + z * h
+
+
 def _lstm_kernel(xp_ref, whh_ref, bhh_ref, y_ref, h_scr, c_scr):
     """xp (TB, T, 4H), whh (H, 4H), bhh (1, 4H), y (TB, T, H)."""
     T = xp_ref.shape[1]
@@ -57,17 +83,9 @@ def _lstm_kernel(xp_ref, whh_ref, bhh_ref, y_ref, h_scr, c_scr):
     c_scr[:] = jnp.zeros_like(c_scr)
 
     def body(t, _):
-        gates = (
-            xp_ref[:, t, :]
-            + jnp.dot(h_scr[:], whh_ref[:], preferred_element_type=jnp.float32)
-            + bhh_ref[0, :]
+        h, c = _lstm_cell(
+            xp_ref[:, t, :], whh_ref[:], bhh_ref[0, :], h_scr[:], c_scr[:], H
         )
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H : 2 * H])
-        g = jnp.tanh(gates[:, 2 * H : 3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H :])
-        c = f * c_scr[:] + i * g
-        h = o * jnp.tanh(c)
         c_scr[:] = c
         h_scr[:] = h
         y_ref[:, t, :] = h
@@ -77,25 +95,14 @@ def _lstm_kernel(xp_ref, whh_ref, bhh_ref, y_ref, h_scr, c_scr):
 
 
 def _gru_kernel(xp_ref, whh_ref, bhh_ref, y_ref, h_scr):
-    """xp (TB, T, 3H), whh (H, 3H), bhh (1, 3H), y (TB, T, H).
-
-    torch GRU: n = tanh(xn + r * (h @ W_hn + b_hn)).
-    """
+    """xp (TB, T, 3H), whh (H, 3H), bhh (1, 3H), y (TB, T, H)."""
     T = xp_ref.shape[1]
     H = whh_ref.shape[0]
 
     h_scr[:] = jnp.zeros_like(h_scr)
 
     def body(t, _):
-        hh = (
-            jnp.dot(h_scr[:], whh_ref[:], preferred_element_type=jnp.float32)
-            + bhh_ref[0, :]
-        )
-        xp = xp_ref[:, t, :]
-        r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
-        z = jax.nn.sigmoid(xp[:, H : 2 * H] + hh[:, H : 2 * H])
-        n = jnp.tanh(xp[:, 2 * H :] + r * hh[:, 2 * H :])
-        h = (1.0 - z) * n + z * h_scr[:]
+        h = _gru_cell(xp_ref[:, t, :], whh_ref[:], bhh_ref[0, :], h_scr[:], H)
         h_scr[:] = h
         y_ref[:, t, :] = h
         return 0
@@ -141,28 +148,6 @@ def _run(kernel, n_gates, xp, w_hh, b_hh):
 # (H<=512, B*T<=2k) use a few MB of the ~100 MB budget.
 
 
-def _lstm_step(buf_scr, whh, bhh, h, c, t, H):
-    gates = (
-        buf_scr[:, t, :]
-        + jnp.dot(h, whh, preferred_element_type=jnp.float32)
-        + bhh
-    )
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    c = f * c + i * g
-    return o * jnp.tanh(c), c
-
-def _gru_step(buf_scr, whh, bhh, h, t, H):
-    hh = jnp.dot(h, whh, preferred_element_type=jnp.float32) + bhh
-    xp = buf_scr[:, t, :]
-    r = jax.nn.sigmoid(xp[:, :H] + hh[:, :H])
-    z = jax.nn.sigmoid(xp[:, H : 2 * H] + hh[:, H : 2 * H])
-    n = jnp.tanh(xp[:, 2 * H :] + r * hh[:, 2 * H :])
-    return (1.0 - z) * n + z * h
-
-
 def _project_next_layer(y_scr, wih_ref, bih_ref, l, buf_scr):
     """buf <- y @ W_ih[l+1] + b_ih[l+1]: one MXU matmul over the whole
     sequence, entirely in VMEM (the inter-layer hop never touches HBM)."""
@@ -193,7 +178,7 @@ def _lstm_stack_kernel(xp0_ref, whh_ref, bhh_ref, wih_ref, bih_ref, y_ref,
         bhh = bhh_ref[l, 0, :]
 
         def body(t, _):
-            h, c = _lstm_step(buf_scr, whh, bhh, h_scr[:], c_scr[:], t, H)
+            h, c = _lstm_cell(buf_scr[:, t, :], whh, bhh, h_scr[:], c_scr[:], H)
             h_scr[:] = h
             c_scr[:] = c
             y_scr[:, t, :] = h
@@ -218,7 +203,7 @@ def _gru_stack_kernel(xp0_ref, whh_ref, bhh_ref, wih_ref, bih_ref, y_ref,
         bhh = bhh_ref[l, 0, :]
 
         def body(t, _):
-            h = _gru_step(buf_scr, whh, bhh, h_scr[:], t, H)
+            h = _gru_cell(buf_scr[:, t, :], whh, bhh, h_scr[:], H)
             h_scr[:] = h
             y_scr[:, t, :] = h
             return 0
@@ -264,7 +249,7 @@ def _run_stack(kernel, n_gates, xp0, w_hh, b_hh, w_ih, b_ih):
         w_hh.astype(f32),
         b_hh.reshape(L, 1, GH).astype(f32),
         w_ih.astype(f32),
-        b_ih.reshape(max(L - 1, 1), 1, GH).astype(f32),
+        b_ih.reshape(L - 1, 1, GH).astype(f32),
     )
 
 
@@ -305,28 +290,20 @@ def _gru_ref(xp, w_hh, b_hh):
     return jnp.moveaxis(ys, 0, 1)
 
 
-def _lstm_stack_ref(xp0, w_hh, b_hh, w_ih, b_ih):
+def _stack_ref(layer_ref, xp0, w_hh, b_hh, w_ih, b_ih):
+    """Layer-by-layer lax.scan reference for the fused stack kernels (also
+    the rematerialized backward)."""
     L = w_hh.shape[0]
     buf = xp0
     for l in range(L):
-        y = _lstm_ref(buf, w_hh[l], b_hh[l])
+        buf = layer_ref(buf, w_hh[l], b_hh[l])
         if l < L - 1:
-            buf = y @ w_ih[l] + b_ih[l]
-        else:
-            buf = y
+            buf = buf @ w_ih[l] + b_ih[l]
     return buf
 
 
-def _gru_stack_ref(xp0, w_hh, b_hh, w_ih, b_ih):
-    L = w_hh.shape[0]
-    buf = xp0
-    for l in range(L):
-        y = _gru_ref(buf, w_hh[l], b_hh[l])
-        if l < L - 1:
-            buf = y @ w_ih[l] + b_ih[l]
-        else:
-            buf = y
-    return buf
+_lstm_stack_ref = partial(_stack_ref, _lstm_ref)
+_gru_stack_ref = partial(_stack_ref, _gru_ref)
 
 
 def _make_stack_op(kernel, ref, n_gates):
