@@ -44,6 +44,28 @@ def test_tokenize_strips_punctuation():
     assert tokenize_caption("A man, cooking!") == ["a", "man", "cooking"]
 
 
+def test_vocab_build_uses_encode_tokenization():
+    """Capitalized/punctuated captions must resolve to real ids, not <unk>
+    (the reference builds from raw split() and encodes lowercased —
+    beam_search.py:55-66 vs :119-128 — so its vocab is unreachable)."""
+    v = Vocabulary()
+    v.build_vocabulary(["A man is playing Guitar."])
+    ids = v.numericalize(tokenize_caption("A man is playing Guitar."))
+    assert v["<unk>"] not in ids
+    assert "Guitar." not in v.word2idx and "guitar" in v.word2idx
+
+
+def test_preprocess_annotations_deterministic_order(tmp_path):
+    """Unique-caption order is first-appearance, not set() hash order — the
+    vocab ids a resume process rebuilds must match the original run's."""
+    from vct.caption.data import preprocess_annotations
+
+    p = tmp_path / "ann.txt"
+    p.write_text("v1.mp4 b cap\nv2.mp4 a cap\nv3.mp4 b cap\nv4.mp4 c cap\n")
+    _, sentences = preprocess_annotations(str(p))
+    assert sentences == ["b cap", "a cap", "c cap"]
+
+
 def test_annotation_parser(tmp_path):
     p = tmp_path / "ann.txt"
     p.write_text("vid1 a man is cooking\n\nvid2 a dog runs\nbadline\n")

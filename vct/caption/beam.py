@@ -191,9 +191,13 @@ def beam_search(
 
 
 def greedy_decode(model, variables, video, max_len: int = 30):
-    """Free-running argmax decode via the model's own scan (targets=None)."""
+    """Free-running argmax decode via the model's own scan (targets=None).
+
+    The scan always runs the model's compiled ``model.max_len`` steps; the
+    returned tokens truncate to ``max_len`` (greedy decoding is
+    prefix-deterministic, so this equals decoding fewer steps)."""
     logp = model.apply(variables, video, deterministic=True)
-    return jnp.argmax(logp, axis=-1)
+    return jnp.argmax(logp, axis=-1)[:, :max_len]
 
 
 def decode_tokens(token_row, vocab, start_token=1, end_token=2, pad_token=0) -> List[str]:

@@ -25,8 +25,15 @@ __all__ = [
 
 
 def preprocess_annotations(annotation_file: str) -> Tuple[List[Tuple[str, str]], List[str]]:
-    """Returns ([(video_file, caption), ...], unique caption list)."""
-    annotations, sentences = [], set()
+    """Returns ([(video_file, caption), ...], unique caption list).
+
+    Captions dedupe in first-appearance order (NOT ``list(set(...))`` as in
+    ``beam_search.py:183-205``): per-process string-hash salting makes set
+    order nondeterministic, which would permute vocab ids between a run and
+    its resume process."""
+    annotations: List[Tuple[str, str]] = []
+    sentences: List[str] = []
+    seen = set()
     with open(annotation_file) as f:
         for line in f:
             line = line.strip()
@@ -37,9 +44,12 @@ def preprocess_annotations(annotation_file: str) -> Tuple[List[Tuple[str, str]],
             if split_index == -1:
                 print(f"Warning: Line does not contain a space separator: {line}")
                 continue
-            annotations.append((line[:split_index], line[split_index + 1 :]))
-            sentences.add(line[split_index + 1 :])
-    return annotations, list(sentences)
+            caption = line[split_index + 1 :]
+            annotations.append((line[:split_index], caption))
+            if caption not in seen:
+                seen.add(caption)
+                sentences.append(caption)
+    return annotations, sentences
 
 
 def encode_caption(caption: str, vocab: Vocabulary, max_len: int) -> np.ndarray:

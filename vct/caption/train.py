@@ -175,10 +175,13 @@ class CaptionTrainer:
         for epoch in range(start_epoch, cfg.epochs):
             order = rng.permutation(n)
             total_loss, batches_n = 0.0, 0
-            for s in range(0, n - batch_size + 1 if n >= batch_size else 1, batch_size):
+            for s in range(0, n, batch_size):
                 idx = order[s : s + batch_size]
                 if len(idx) < batch_size:
-                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                    # Wrap-pad the tail batch from the epoch's own order so
+                    # every sample trains every epoch at a fixed jit shape.
+                    pad = np.resize(order, batch_size - len(idx))
+                    idx = np.concatenate([idx, pad])
                 state, loss = step_fn(
                     state, jnp.asarray(videos[idx]), jnp.asarray(captions[idx])
                 )
@@ -194,31 +197,37 @@ class CaptionTrainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str, state: CaptionState, epoch: int, loss: float):
-        import orbax.checkpoint as ocp
+        # Reuse the classifier's crash-safe swap: a kill mid-save leaves the
+        # previous complete checkpoint, never a manifest pointing at nothing.
+        from vct.train.checkpoint import _atomic_json_write, _atomic_tree_save
 
         os.makedirs(path, exist_ok=True)
-        ckpt = ocp.StandardCheckpointer()
-        params_path = os.path.join(path, "state")
-        if os.path.exists(params_path):
-            import shutil
-
-            shutil.rmtree(params_path)
         tree = {
             "params": jax.device_get(state.params),
             "extra_vars": jax.device_get(state.extra_vars),
             "opt_state": jax.device_get(state.opt_state),
         }
-        ckpt.save(params_path, tree)
-        ckpt.wait_until_finished()
-        with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump({"epoch": epoch, "loss": loss, "vocab": self.vocab.to_dict()}, f)
+        _atomic_tree_save(os.path.join(path, "state"), tree)
+        _atomic_json_write(
+            os.path.join(path, "manifest.json"),
+            {"epoch": epoch, "loss": loss, "vocab": self.vocab.to_dict()},
+        )
         print(f"Checkpoint saved at epoch {epoch}")
 
     def load_checkpoint(self, path: str, state: CaptionState) -> Tuple[CaptionState, int]:
         import orbax.checkpoint as ocp
 
+        from vct.caption.vocab import Vocabulary
+        from vct.train.checkpoint import _recover_checkpoint_dir
+
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
+        # The checkpointed weights are only meaningful against the vocab
+        # they were trained with — restore it rather than trusting the
+        # freshly rebuilt one to assign identical ids.
+        if "vocab" in manifest:
+            self.vocab = Vocabulary.from_dict(manifest["vocab"])
+        _recover_checkpoint_dir(os.path.join(path, "state"))
         ckpt = ocp.StandardCheckpointer()
         target = {
             "params": jax.device_get(state.params),
@@ -245,7 +254,8 @@ class CaptionTrainer:
         beam_width = beam_width if beam_width is not None else self.cfg.beam_width
         if beam_width <= 1:
             tokens = np.asarray(
-                greedy_decode(self.model, variables, jnp.asarray(videos))
+                greedy_decode(self.model, variables, jnp.asarray(videos),
+                              max_len=self.cfg.max_caption_len)
             )
             return [decode_tokens(row, self.vocab) for row in tokens]
         tokens, _ = beam_search(

@@ -41,9 +41,16 @@ class Vocabulary:
             self.idx2word[idx] = word
 
     def build_vocabulary(self, sentences: Iterable[str]) -> None:
+        """Count TOKENIZED words (lowercase, punctuation stripped).
+
+        Deliberate fix of a reference bug: ``beam_search.py:55-66`` counts
+        raw ``sentence.split()`` tokens while encoding looks words up via
+        ``tokenize_caption`` (``:119-128``), so every capitalized or
+        punctuated word maps to <unk> there. Building from the same
+        tokenization the encoder uses makes the vocab actually reachable."""
         freq: Dict[str, int] = {}
         for sentence in sentences:
-            for word in sentence.split():
+            for word in tokenize_caption(sentence):
                 freq[word] = freq.get(word, 0) + 1
         for word, count in freq.items():
             if count >= self.freq_threshold:

@@ -143,7 +143,13 @@ def crawl_profiles(
     to_download: List[str] = []
     for profile_url in profile_urls:
         print(f"Scraping: {profile_url}")
-        links = scrape_profile(profile_url, cookies=cookies)
+        try:
+            links = scrape_profile(profile_url, cookies=cookies)
+        except Exception as e:
+            # One dead profile must not discard every other profile's links
+            # (the crawl is a long network-bound batch job).
+            print(f"  skipping {profile_url}: {e}")
+            continue
         print(f"  found {len(links)} video links")
         for link in links:
             if not is_url_classified(link, cfg.backend_checker):

@@ -104,12 +104,14 @@ def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32,
 
 def classify_and_display(
     model, variables, clips, video_names: List[str], class_names: List[str],
-    mesh=None,
+    mesh=None, batch_size: int = 32,
 ) -> List[dict]:
     """Reference output contract (deployment.py:61-101)."""
     results = []
     label_counter = Counter()
-    probs = classify_videos(model, variables, clips, mesh=mesh)
+    probs = classify_videos(
+        model, variables, clips, batch_size=batch_size, mesh=mesh
+    )
     for idx, name in enumerate(video_names):
         order = np.argsort(-probs[idx])
         sorted_labels = [class_names[i] for i in order]
@@ -323,7 +325,8 @@ def main(argv=None) -> int:
             mesh = make_mesh(jax.devices(), model=1)
             print(f"Sharding inference over {mesh.size} devices")
     results = classify_and_display(
-        model, variables, clips, names, class_names, mesh=mesh
+        model, variables, clips, names, class_names, mesh=mesh,
+        batch_size=args.batch_size,
     )
     if args.post:
         post_results(results, args.backend_url or cfg.serve.backend_url)

@@ -125,12 +125,20 @@ def alt_get_tiktok_json(video_url: str, cookies=None, session=None) -> Optional[
     return data
 
 
-def extract_video_record(tt_json: dict) -> Optional[dict]:
-    """Normalize SIGI_STATE or UNIVERSAL_DATA into one item record."""
+def extract_video_record(
+    tt_json: dict, video_id: Optional[str] = None
+) -> Optional[dict]:
+    """Normalize SIGI_STATE or UNIVERSAL_DATA into one item record.
+
+    ItemModule can list several items (pinned/related videos); when the
+    requested ``video_id`` is known, return THAT item — the first key is not
+    guaranteed to be the page's own video."""
     if "ItemModule" in tt_json:
         items = tt_json["ItemModule"]
         if not items:
             return None
+        if video_id is not None and video_id in items:
+            return items[video_id]
         return items[list(items.keys())[0]]
     scope = tt_json.get("__DEFAULT_SCOPE__", {})
     detail = scope.get("webapp.video-detail", {})
@@ -192,7 +200,8 @@ def save_tiktok(
     if tt_json is None:
         print(f"Could not extract data for {video_url}")
         return None
-    item = extract_video_record(tt_json)
+    id_match = re.search(r"/video/(\d+)", video_url)
+    item = extract_video_record(tt_json, id_match.group(1) if id_match else None)
     if item is None:
         print(f"No video record in page data for {video_url}")
         return None

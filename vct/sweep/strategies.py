@@ -186,7 +186,11 @@ def genetic_algorithm(
     if population is None:
         population = [[d.sample(rng) for d in dims] for _ in range(population_size)]
         fitnesses = [evaluate(ind) for ind in population]
-        hof = None
+        # The initial population competes for the hall of fame too — its best
+        # individual may never survive selection.
+        best_i = max(range(len(population)), key=lambda i: fitnesses[i])
+        hof = {"individual": list(population[best_i]),
+               "fitness": fitnesses[best_i]}
 
     for gen in range(start_gen, generations):
         # tournament-3 selection
