@@ -315,3 +315,33 @@ class TestValPlateau:
         s = tr.init_state(jax.random.PRNGKey(0), x)
         s, run = tr.fit(s, x, y, log=False)
         assert run.epoch_losses[1] < run.epoch_losses[0] * 1.5  # sane training
+
+
+def test_scratch_model_batchnorm_trains():
+    """LRCN2's BatchNorm runs on batch statistics during training and its
+    running stats update through the train step (the reference trains
+    nn.BatchNorm2d in train() mode, backup_ucf50.py:118-141); the frozen
+    pretrained backbones keep eval-mode BN."""
+    import jax
+    import numpy as np
+
+    from vct.core.config import Config
+
+    cfg = Config().replace(**{
+        "model.model_family": "lrcn2", "model.num_classes": "3",
+        "model.hidden_size": "8", "data.sequence_length": "4",
+        "data.img_height": "32", "data.img_width": "32",
+        "train.batch_size": "8", "train.epochs": "1",
+        "train.save_model": "false",
+    })
+    x, y, names = generate_dummy_data(16, 4, 32, 32, 3)
+    tr = Trainer(cfg, names)
+    state = tr.init_state(jax.random.PRNGKey(0), x)
+    before = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.extra_vars)
+    )
+    state, _ = tr.fit(state, x, y, log=False)
+    after = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.extra_vars)
+    )
+    assert any(not np.allclose(a, b) for a, b in zip(after, before))

@@ -487,7 +487,10 @@ class TBidirMixer(TMambaMixer):
 
         fwd = scan(u, delta, Bm, C)
         idx = torch.arange(L - 1, -1, -1)
-        bwd = scan(u[:, idx], delta[:, idx], Bm[:, idx], C[:, idx])[:, idx]
+        # The reference's backward direction flips ONLY u and delta
+        # (models.py:51-53); B and C stay in forward time order. This mirror
+        # must model the reference, not a "corrected" backward scan.
+        bwd = scan(u[:, idx], delta[:, idx], Bm, C)[:, idx]
         y = torch.cat([fwd, bwd], dim=-1)
         res = torch.cat([res, res], dim=-1)
         return self.out_proj(y * F.silu(res))

@@ -153,6 +153,23 @@ def test_port_reference_lrcn_logits(rnn_type, rnn_out, classif_mode):
     assert float(np.max(np.abs(got - want))) < 5e-4
 
 
+def test_port_rejects_undescribed_weights():
+    """A bidirectional checkpoint ported with bidirectional=False must raise
+    (not silently drop the *_reverse half of the temporal head)."""
+    torch.manual_seed(0)
+    t_model = TRefLRCNExact("lstm", "all", "multiclass")
+    sd = dict(t_model.state_dict())
+    # graft reverse-direction weights as a bidirectional export would have
+    for kind in ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0"):
+        sd[f"rnn.{kind}_reverse"] = sd[f"rnn.{kind}"].clone()
+    cfg = _cfg("lstm", "all", "multiclass")
+    model = build_model(cfg.model, T)
+    x = np.random.RandomState(1).rand(B, T, H, W, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    with pytest.raises(ValueError, match="Unconsumed"):
+        port_reference_lrcn(variables, sd, cfg.model)
+
+
 def test_port_reference_cli_roundtrip(tmp_path):
     """state_dict .pth -> CLI -> vct checkpoint -> serving load -> same logits."""
     torch.manual_seed(0)

@@ -23,7 +23,9 @@ def numpy_selective_scan(u, delta, A, B, C, reverse=False):
     u, delta, B, C = [np.asarray(v, np.float64) for v in (u, delta, B, C)]
     A = np.asarray(A, np.float64)
     if reverse:
-        u, delta, B, C = u[:, ::-1], delta[:, ::-1], B[:, ::-1], C[:, ::-1]
+        # Reference backward-direction semantics (models.py:51-53): flip
+        # ONLY u and delta; B and C stay in forward time order.
+        u, delta = u[:, ::-1], delta[:, ::-1]
     Bb, L, D = u.shape
     N = A.shape[1]
     dA = np.exp(delta[..., None] * A[None, None])  # (B,L,D,N)
@@ -103,7 +105,8 @@ class TorchMambaMixer(torch.nn.Module):
     def scan(self, u, delta, A, B, C, reverse):
         idx = torch.arange(u.shape[1] - 1, -1, -1)
         if reverse:
-            u, delta, B, C = u[:, idx], delta[:, idx], B[:, idx], C[:, idx]
+            # models.py:51-53: only u and delta flip for the backward pass.
+            u, delta = u[:, idx], delta[:, idx]
         dA = torch.exp(delta.unsqueeze(-1) * A)
         dBu = delta.unsqueeze(-1) * B.unsqueeze(2) * u.unsqueeze(-1)
         h = torch.zeros(u.shape[0], u.shape[2], A.shape[1])

@@ -138,7 +138,6 @@ class LRCN(nn.Module):
                     name=f"mamba_{i}",
                 )(h)
             rnn_out = h
-            rnn_output_size = self.rnn_input_size
         else:
             rnn_out = RNNStack(
                 rnn_type=self.rnn_type,
@@ -148,8 +147,6 @@ class LRCN(nn.Module):
                 scan_impl="pallas" if self.scan_impl == "pallas" else "scan",
                 name="rnn",
             )(feats)
-            rnn_output_size = self.hidden_size * (2 if self.bidirectional else 1)
-        del rnn_output_size
 
         if self.rnn_out == "all":
             pooled = rnn_out.reshape(b, -1)

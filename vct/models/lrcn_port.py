@@ -49,8 +49,55 @@ def _ln(sd, prefix):
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
 
-def _split_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+class _ConsumeTracker:
+    """Mapping view over a state_dict that records EXACTLY which keys are
+    read, so the consume-everything check flags any tensor no porter touched
+    (a prefix-based check would silently pass e.g. ``rnn.*_reverse`` weights
+    when porting a bidirectional checkpoint with bidirectional=False)."""
+
+    def __init__(self, data: Dict[str, np.ndarray], consumed=None, prefix=""):
+        self.data = data
+        self.consumed = set() if consumed is None else consumed
+        self.prefix = prefix
+
+    def __getitem__(self, key):
+        self.consumed.add(self.prefix + key)
+        return self.data[key]
+
+    def __contains__(self, key):
+        return key in self.data
+
+    def keys(self):
+        return self.data.keys()
+
+    def consume_region(self, prefix: str) -> Dict[str, np.ndarray]:
+        """Mark every key under ``prefix.`` consumed and return the raw
+        sub-dict (for sub-porters with their own strict per-key checks,
+        e.g. the backbone porter)."""
+        plen = len(prefix) + 1
+        sub = {}
+        for k, v in self.data.items():
+            if k.startswith(prefix + "."):
+                self.consumed.add(self.prefix + k)
+                sub[k[plen:]] = v
+        return sub
+
+    def leftovers(self):
+        return sorted(
+            self.prefix + k
+            for k in self.data
+            if self.prefix + k not in self.consumed
+            and not k.endswith("num_batches_tracked")
+        )
+
+
+def _split_prefix(sd, prefix: str):
     plen = len(prefix) + 1
+    if isinstance(sd, _ConsumeTracker):
+        sub = {
+            k[plen:]: v for k, v in sd.data.items() if k.startswith(prefix + ".")
+        }
+        return _ConsumeTracker(sub, sd.consumed, sd.prefix + prefix + ".")
     return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
 
 
@@ -84,18 +131,18 @@ def _port_mixer(sd_m):
 
 
 
-def _finish_port(variables: dict, params: dict, sd: Dict[str, np.ndarray],
-                 known, bb: dict, bb_path) -> dict:
-    """Shared tail of every porter: consume-everything check, per-leaf shape
-    check against the fresh init, and assembly with the backbone batch_stats
-    grafted at ``bb_path`` (a tuple of tree keys)."""
-    leftovers = sorted(
-        k for k in sd
-        if not any(k.startswith(p) for p in known)
-        and not k.endswith("num_batches_tracked")
-    )
+def _finish_port(variables: dict, params: dict, sd: _ConsumeTracker,
+                 bb: dict, bb_path) -> dict:
+    """Shared tail of every porter: consume-everything check (every tensor a
+    porter actually READ, tracked per key), per-leaf shape check against the
+    fresh init, and assembly with the backbone batch_stats grafted at
+    ``bb_path`` (a tuple of tree keys)."""
+    leftovers = sd.leftovers()
     if leftovers:
-        raise ValueError(f"Unconsumed state_dict tensors: {leftovers[:8]}...")
+        raise ValueError(
+            f"Unconsumed state_dict tensors (the config does not describe "
+            f"this checkpoint): {leftovers[:8]}..."
+        )
 
     import jax
 
@@ -131,14 +178,15 @@ def port_reference_lrcn(variables: dict, state_dict, model_cfg) -> dict:
     ``model_cfg``: the ``vct.core.config.ModelConfig`` describing the model.
     Returns a new variables tree; raises KeyError/ValueError on mismatches.
     """
-    sd = torch_tensor_dict(state_dict)
+    sd = _ConsumeTracker(torch_tensor_dict(state_dict))
 
     bb_sub = {
         "params": variables["params"]["cnn_backbone"],
         "batch_stats": variables.get("batch_stats", {}).get("cnn_backbone", {}),
     }
+    # The backbone porter runs its own strict per-key consume check.
     bb = load_torch_backbone(
-        model_cfg.cnn_backbone, bb_sub, _split_prefix(sd, "cnn_backbone")
+        model_cfg.cnn_backbone, bb_sub, sd.consume_region("cnn_backbone")
     )
 
     params = dict(variables["params"])
@@ -177,30 +225,21 @@ def port_reference_lrcn(variables: dict, state_dict, model_cfg) -> dict:
             "bias": np.concatenate([sd[f"fc.{i}.bias"] for i in range(n)]),
         }}
 
-    # Strictness: every state_dict tensor must belong to a consumed region
-    # (same consume-everything policy as the backbone porter — silent extras
-    # usually mean the config does not describe this checkpoint).
-    known = ["cnn_backbone.", "rnn.", "adapt1.", "adapt2.", "adapt3.",
-             "bn1.", "bn2.", "bn3."]
-    if model_cfg.classif_mode == "multiclass":
-        known += ["bn0.", "bna.", "bnb.", "fc.", "fca.", "fcb."]
-    else:
-        known += [f"fc.{i}." for i in range(model_cfg.num_classes)]
-    return _finish_port(variables, params, sd, known, bb, ("cnn_backbone",))
+    return _finish_port(variables, params, sd, bb, ("cnn_backbone",))
 
 
 def port_reference_videomamba(variables: dict, state_dict, model_cfg) -> dict:
     """Port a reference VideoMamba state_dict (``lrcn/videomamba.py:332-386``:
     cnn_backbone, single Linear ``adapt``, ``layers.{i}.norm/mixer`` residual
     blocks, ``norm_f``, ``classifier`` Linear or ``classifier.{i}`` list)."""
-    sd = torch_tensor_dict(state_dict)
+    sd = _ConsumeTracker(torch_tensor_dict(state_dict))
 
     bb_sub = {
         "params": variables["params"]["cnn_backbone"],
         "batch_stats": variables.get("batch_stats", {}).get("cnn_backbone", {}),
     }
     bb = load_torch_backbone(
-        model_cfg.cnn_backbone, bb_sub, _split_prefix(sd, "cnn_backbone")
+        model_cfg.cnn_backbone, bb_sub, sd.consume_region("cnn_backbone")
     )
     params = dict(variables["params"])
     params["cnn_backbone"] = bb["params"]
@@ -224,8 +263,7 @@ def port_reference_videomamba(variables: dict, state_dict, model_cfg) -> dict:
             ),
         }
 
-    known = ["cnn_backbone.", "adapt.", "layers.", "norm_f.", "classifier."]
-    return _finish_port(variables, params, sd, known, bb, ("cnn_backbone",))
+    return _finish_port(variables, params, sd, bb, ("cnn_backbone",))
 
 
 def port_reference_s2vt(variables: dict, state_dict) -> dict:
@@ -239,9 +277,11 @@ def port_reference_s2vt(variables: dict, state_dict) -> dict:
     (PretrainedCNN registers the same child modules twice,
     beam_search.py:265-267) and are dropped.
     """
-    sd = torch_tensor_dict(state_dict)
-    sd = {k: v for k, v in sd.items()
-          if not k.startswith("cnn.feature_extractor.")}
+    raw = torch_tensor_dict(state_dict)
+    sd = _ConsumeTracker({
+        k: v for k, v in raw.items()
+        if not k.startswith("cnn.feature_extractor.")
+    })
 
     bb_sub = {
         "params": variables["params"]["cnn"]["cnn"],
@@ -253,7 +293,7 @@ def port_reference_s2vt(variables: dict, state_dict) -> dict:
     # Infer the family from the checkpoint when possible; resnets share one
     # porter, so default there (the reference's PretrainedCNN supports
     # resnet50 / vgg16 / inception_v3 / mobilenet_v2).
-    bb_sd = _split_prefix(sd, "cnn.model")
+    bb_sd = sd.consume_region("cnn.model")
     if any(k.startswith("features.denseblock") for k in bb_sd):
         family = "densenet121"
     elif any(k.startswith("Mixed_") for k in bb_sd):
@@ -289,5 +329,4 @@ def port_reference_s2vt(variables: dict, state_dict) -> dict:
         "out": _dense(sd, "decoder.out"),
     }
 
-    known = ["cnn.model.", "cnn.fc.", "encoder.", "decoder."]
-    return _finish_port(variables, params, sd, known, bb, ("cnn", "cnn"))
+    return _finish_port(variables, params, sd, bb, ("cnn", "cnn"))

@@ -100,9 +100,11 @@ class _RecurrentBase(nn.Module):
             op = lstm_scan_pallas if self.n_gates == 4 else gru_scan_pallas
             y = op(xp, w_hh, b_hh)
             return jnp.flip(y, axis=1) if reverse else y
-        h0 = jnp.zeros((B, H), dtype=x.dtype)
+        # Carry dtype must match the step's promoted dtype (f32 params
+        # promote bf16 inputs), or lax.scan rejects the carry.
+        h0 = jnp.zeros((B, H), dtype=x_proj.dtype)
         if self.n_gates == 4:
-            c0 = jnp.zeros((B, H), dtype=x.dtype)
+            c0 = jnp.zeros((B, H), dtype=x_proj.dtype)
             return _lstm_scan(x_proj, w_hh, b_hh, h0, c0, reverse=reverse)
         return _gru_scan(x_proj, w_hh, b_hh, h0, reverse=reverse)
 

@@ -40,8 +40,13 @@ class LRCN2(nn.Module):
         h = x.reshape((b * t,) + x.shape[2:])
 
         def bn(name):
+            # From-scratch model: BN trains on batch statistics (the
+            # reference runs nn.BatchNorm2d in train() mode,
+            # backup_ucf50.py:118-141) — unlike the frozen pretrained
+            # backbones, whose BN is eval-mode by design. The Trainer
+            # threads the mutated batch_stats through the train step.
             return nn.BatchNorm(
-                use_running_average=True, momentum=0.9, epsilon=1e-5,
+                use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name=name,
             )
 

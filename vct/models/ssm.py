@@ -63,10 +63,13 @@ def selective_scan(
         return selective_scan_pallas(u, delta, A, B, C, reverse=reverse)
 
     if reverse:
+        # Reference quirk, replicated exactly (models.py:51-53): the backward
+        # direction flips ONLY u and delta — B and C stay in forward time
+        # order, so backward step t pairs flipped u/delta with UNFLIPPED
+        # B[:, t] / C[:, t]. Checkpoints were trained with these semantics;
+        # the 1e-3 logit-parity contract requires them.
         u = jnp.flip(u, axis=1)
         delta = jnp.flip(delta, axis=1)
-        B = jnp.flip(B, axis=1)
-        C = jnp.flip(C, axis=1)
 
     # Discretise: deltaA (B,L,D,N), deltaB_u (B,L,D,N) — models.py:55-56.
     deltaA = jnp.exp(jnp.einsum("bld,dn->bldn", delta, A))

@@ -116,6 +116,10 @@ def _run(kernel, n_gates, xp, w_hh, b_hh):
     scratches = [pltpu.VMEM((B, H), jnp.float32)]
     if n_gates == 4:
         scratches.append(pltpu.VMEM((B, H), jnp.float32))
+    # All buffers are VMEM-resident (no grid); size the scoped-vmem limit to
+    # the real footprint so large-H configs don't trip the 16 MB default
+    # (same fix as _run_stack below).
+    vmem_bytes = 4 * (B * T * GH + B * T * H + (H + 1) * GH + (n_gates - 2) * B * H)
     return pl.pallas_call(
         kernel,
         in_specs=[
@@ -127,6 +131,9 @@ def _run(kernel, n_gates, xp, w_hh, b_hh):
         out_shape=jax.ShapeDtypeStruct((B, T, H), jnp.float32),
         scratch_shapes=scratches,
         interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * vmem_bytes + (1 << 22), 100 << 20),
+        ),
     )(
         xp.astype(jnp.float32),
         w_hh.astype(jnp.float32),

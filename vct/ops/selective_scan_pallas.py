@@ -82,17 +82,12 @@ def _forward(u, delta, A, B, C):
 
 
 def _reference_scan(u, delta, A, B, C):
-    """Associative-scan formulation used to rematerialize gradients."""
-    deltaA = jnp.exp(jnp.einsum("bld,dn->bldn", delta, A))
-    deltaB_u = jnp.einsum("bld,bln,bld->bldn", delta, B, u)
+    """Rematerialization reference = the canonical associative-scan impl in
+    ``vct.models.ssm`` (one copy of the semantics; lazy import breaks the
+    module cycle — ssm.py imports this module for impl='pallas')."""
+    from vct.models.ssm import selective_scan
 
-    def combine(left, right):
-        a_l, b_l = left
-        a_r, b_r = right
-        return a_l * a_r, b_l * a_r + b_r
-
-    _, h = jax.lax.associative_scan(combine, (deltaA, deltaB_u), axis=1)
-    return jnp.einsum("bldn,bln->bld", h, C)
+    return selective_scan(u, delta, A, B, C, reverse=False, impl="associative")
 
 
 @jax.custom_vjp
@@ -116,10 +111,11 @@ _scan_op.defvjp(_scan_fwd, _scan_bwd)
 def selective_scan_pallas(u, delta, A, B, C, reverse: bool = False):
     """Drop-in for ``vct.models.ssm.selective_scan`` (impl='pallas')."""
     if reverse:
+        # Mirror the reference's backward-direction quirk exactly: flip ONLY
+        # u and delta; B and C stay forward-ordered (models.py:51-53; see
+        # vct/models/ssm.py for the full note).
         u = jnp.flip(u, axis=1)
         delta = jnp.flip(delta, axis=1)
-        B = jnp.flip(B, axis=1)
-        C = jnp.flip(C, axis=1)
     y = _scan_op(u, delta, A, B, C)
     if reverse:
         y = jnp.flip(y, axis=1)

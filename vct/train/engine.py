@@ -294,23 +294,30 @@ class Trainer:
 
         def train_step(state: TrainState, xb, yb, mask):
             rng, dropout_rng = jax.random.split(state.rng)
+            # Mutable collections (batch_stats in the scratch CNN models)
+            # update during the step; frozen-backbone models never write
+            # theirs, so the returned collection equals the input.
+            mutable = list(state.extra_vars.keys())
 
             def loss_of(params):
-                logits = model.apply(
+                logits, new_vars = model.apply(
                     {"params": params, **state.extra_vars},
                     xb,
                     deterministic=False,
                     rngs={"dropout": dropout_rng},
+                    mutable=mutable,
                 )
-                return self._loss_fn(logits, yb, mask)
+                loss, aux = self._loss_fn(logits, yb, mask)
+                return loss, (aux, new_vars)
 
-            (loss, (correct, total)), grads = jax.value_and_grad(
+            (loss, ((correct, total), new_vars)), grads = jax.value_and_grad(
                 loss_of, has_aux=True
             )(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
-                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+                step=state.step + 1, params=params, opt_state=opt_state, rng=rng,
+                extra_vars={**state.extra_vars, **new_vars},
             )
             return new_state, loss, correct, total
 
