@@ -230,8 +230,11 @@ int ccw_close(void* handle) {
   if (ok) {
     std::remove(wr->tmp_path.c_str());
   } else {
-    // never leave a truncated cache behind — a later open would mmap short
+    // never leave a truncated cache behind — a later open would mmap short;
+    // and drop the (potentially multi-GB) tmp payload too, or failed
+    // finalizes on a near-full disk accumulate orphans.
     std::remove(wr->path.c_str());
+    std::remove(wr->tmp_path.c_str());
   }
   delete wr;
   return ok ? 0 : -1;
@@ -241,6 +244,7 @@ int ccw_close(void* handle) {
 
 void* ccl_open(const char* path, int64_t batch, int shuffle, uint64_t seed,
                int workers, int drop_last, int depth) {
+  if (batch <= 0) return nullptr;  // start_epoch divides by batch (SIGFPE)
   auto* ld = new Loader();
   ld->fd = ::open(path, O_RDONLY);
   if (ld->fd < 0) {
@@ -263,10 +267,25 @@ void* ccl_open(const char* path, int64_t batch, int shuffle, uint64_t seed,
   }
   std::memcpy(&ld->hd, ld->map, sizeof(Header));
   // A truncated or foreign file must fail the open, not SIGBUS a gather
-  // thread: the payload size has to match the header exactly.
-  uint64_t want_size = sizeof(Header) +
-      ld->hd.num_clips * (label_bytes(ld->hd) + clip_bytes(ld->hd));
-  if (ld->hd.magic != kMagic || (uint64_t)ld->map_size != want_size) {
+  // thread: the payload size has to match the header exactly — with
+  // overflow-safe arithmetic, or a crafted header whose products wrap
+  // uint64 could make want_size match a tiny file. Per-dim caps keep
+  // clip_bytes itself from wrapping (<= 2^16^3 * 64 = 2^54); the clip
+  // count is then bounded by division instead of multiplying.
+  const uint64_t kDimCap = 1ull << 16;  // far above any real clip dim
+  uint64_t per = 0;
+  bool sane = ld->hd.t <= kDimCap && ld->hd.h <= kDimCap &&
+              ld->hd.w <= kDimCap && ld->hd.c <= 64 &&
+              ld->hd.label_dim <= kDimCap;
+  if (sane) {
+    per = label_bytes(ld->hd) + clip_bytes(ld->hd);
+    sane = per > 0 &&
+           ld->hd.num_clips <= ((uint64_t)ld->map_size) / per;
+  }
+  uint64_t want_size =
+      sane ? sizeof(Header) + ld->hd.num_clips * per : 0;
+  if (!sane || ld->hd.magic != kMagic ||
+      (uint64_t)ld->map_size != want_size) {
     munmap(ld->map, ld->map_size);
     ::close(ld->fd);
     delete ld;

@@ -49,6 +49,7 @@ struct Decoder {
   int sws_w = 0, sws_h = 0, sws_fmt = -1;
   bool eof_sent = false;   // drain packet delivered to the codec
   bool finished = false;   // codec fully drained
+  bool pkt_pending = false;  // pkt held after a send-EAGAIN, resend next
 };
 
 void destroy(Decoder* d) {
@@ -207,22 +208,33 @@ int64_t vd_read(void* handle, uint8_t* out, int64_t max_frames) {
       break;
     }
     if (rc != AVERROR(EAGAIN)) return -1;
-    // Codec wants input: feed the next video packet (or the drain packet).
+    // Codec wants input: feed the pending packet if one is held from a
+    // previous send-EAGAIN, else the next video packet (or drain packet).
     if (d->eof_sent) continue;  // still draining
     while (true) {
-      int prc = av_read_frame(d->fmt, d->pkt);
-      if (prc < 0) {
-        avcodec_send_packet(d->codec, nullptr);  // start drain
-        d->eof_sent = true;
+      if (!d->pkt_pending) {
+        int prc = av_read_frame(d->fmt, d->pkt);
+        if (prc < 0) {
+          avcodec_send_packet(d->codec, nullptr);  // start drain
+          d->eof_sent = true;
+          break;
+        }
+        if (d->pkt->stream_index != d->stream_idx) {
+          av_packet_unref(d->pkt);
+          continue;
+        }
+      }
+      int src = avcodec_send_packet(d->codec, d->pkt);
+      if (src == AVERROR(EAGAIN)) {
+        // Codec wants frames drained first; KEEP the packet (unref would
+        // drop its compressed frames) and resend after the next receive.
+        d->pkt_pending = true;
         break;
       }
-      if (d->pkt->stream_index == d->stream_idx) {
-        int src = avcodec_send_packet(d->codec, d->pkt);
-        av_packet_unref(d->pkt);
-        if (src < 0 && src != AVERROR(EAGAIN)) return -1;
-        break;
-      }
+      d->pkt_pending = false;
       av_packet_unref(d->pkt);
+      if (src < 0) return -1;
+      break;
     }
   }
   return n;

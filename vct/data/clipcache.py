@@ -135,9 +135,12 @@ class ClipCacheWriter:
 
     def close(self) -> None:
         if self._handle:
-            if self._lib.ccw_close(self._handle) != 0:
+            handle, self._handle = self._handle, None
+            # Clear the handle FIRST: ccw_close always frees the native
+            # writer, so a raise here must not let a later close() (e.g.
+            # the with-block __exit__ after an explicit close) double-free.
+            if self._lib.ccw_close(handle) != 0:
                 raise IOError("finalize failed")
-            self._handle = None
 
     def __enter__(self):
         return self

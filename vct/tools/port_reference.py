@@ -100,6 +100,11 @@ def main(argv=None) -> int:
         [c for c in args.classes.split(",") if c]
         or [f"class_{i}" for i in range(args.num_classes)]
     )
+    if len(classes) != args.num_classes:
+        raise SystemExit(
+            f"--classes names {len(classes)} classes but --num_classes is "
+            f"{args.num_classes}; the manifest must label every head output"
+        )
     path = save_checkpoint(args.out, ported, cfg, classes)
     print(f"Ported checkpoint written to {path}")
     return 0

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
 import time
 from typing import Dict, List, Optional
 
@@ -80,7 +81,9 @@ class StepTimer:
             "steps": n,
             "mean_ms": sum(ts) / n * 1e3,
             "p50_ms": ts[n // 2] * 1e3,
-            "p90_ms": ts[min(n - 1, int(n * 0.9))] * 1e3,
+            # nearest-rank percentile: ceil(0.9n)-1 (int(0.9n) hits max
+            # for small n)
+            "p90_ms": ts[max(math.ceil(0.9 * n) - 1, 0)] * 1e3,
             "max_ms": ts[-1] * 1e3,
         }
 
