@@ -345,3 +345,34 @@ def test_scratch_model_batchnorm_trains():
         jax.tree_util.tree_map(np.asarray, state.extra_vars)
     )
     assert any(not np.allclose(a, b) for a, b in zip(after, before))
+
+
+def test_resume_after_early_stop_does_not_train_further(tmp_path):
+    """A checkpointed run that early-stopped must stay stopped on re-invoke
+    (training more epochs would diverge from the uninterrupted run)."""
+    import jax
+
+    from vct.core.config import Config
+
+    x, y, names = generate_dummy_data(8, 4, 32, 32, 3)
+    base = {
+        "model.cnn_backbone": "resnet18", "model.num_classes": "3",
+        "model.rnn_input_size": "4", "model.rnn_layer": "1",
+        "data.sequence_length": "4", "data.img_height": "32",
+        "data.img_width": "32", "train.batch_size": "8",
+        "train.epochs": "4", "train.save_model": "false",
+        "train.resume": "true",
+        "train.model_path": str(tmp_path / "ck"),
+        "train.early_stop": "1e9",  # any loss triggers the stop
+    }
+    cfg = Config().replace(**base)
+    tr = Trainer(cfg, names)
+    s = tr.init_state(jax.random.PRNGKey(0), x)
+    _, run1 = tr.fit(s, x, y, log=False)
+    assert len(run1.epoch_losses) == 1  # stopped after epoch 1
+
+    tr2 = Trainer(cfg, names)
+    s2 = tr2.init_state(jax.random.PRNGKey(0), x)
+    _, run2 = tr2.fit(s2, x, y, log=False)
+    # history restored, and no further epochs trained
+    assert run2.epoch_losses == run1.epoch_losses

@@ -155,9 +155,12 @@ def test_epoch_resume_after_crash(tmp_path):
     tr2 = Trainer(cfg2, names)
     s2 = tr2.init_state(jax.random.PRNGKey(0), x)
     _, run2 = tr2.fit(s2, x, y, log=False)
-    assert len(run2.epoch_losses) == 2  # epochs 2..3 only
-    combined = run1.epoch_losses + run2.epoch_losses
-    np.testing.assert_allclose(combined, run_ref.epoch_losses, rtol=1e-4)
+    # The resumed run restores the pre-crash epoch history from the
+    # checkpoint, so its RunMetrics cover the whole 3-epoch run.
+    assert len(run2.epoch_losses) == 3
+    assert run2.epoch_losses[0] == run1.epoch_losses[0]
+    np.testing.assert_allclose(run2.epoch_losses, run_ref.epoch_losses,
+                               rtol=1e-4)
 
 
 def test_dryrun_multichip_contract():

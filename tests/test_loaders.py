@@ -179,10 +179,11 @@ def test_stream_resume_after_crash(tmp_path):
     ref = run(3, resume=False)
     run1 = run(1, resume=True)     # epoch 1, then "crash"
     run2 = run(3, resume=True)     # fresh process resumes epochs 2..3
-    assert len(run2.epoch_losses) == 2
-    np.testing.assert_allclose(
-        run1.epoch_losses + run2.epoch_losses, ref.epoch_losses, rtol=1e-4
-    )
+    # The resumed run's history covers the WHOLE run: the checkpointed
+    # pre-crash epoch plus the two it trains itself.
+    assert len(run2.epoch_losses) == 3
+    assert run2.epoch_losses[0] == run1.epoch_losses[0]
+    np.testing.assert_allclose(run2.epoch_losses, ref.epoch_losses, rtol=1e-4)
 
 
 def _vm_rss_mb():

@@ -170,7 +170,14 @@ class Trainer:
         self._padded_bs = ((bs + data_size - 1) // data_size) * data_size
 
     def _pad_batch(self, xb, yb, mask):
-        pad = self._padded_bs - xb.shape[0]
+        target = self._padded_bs
+        if xb.shape[0] > target:
+            # A loader with a bigger batch than cfg.train.batch_size: pad up
+            # to its own next mesh multiple (one extra compile per distinct
+            # batch size, never a negative pad).
+            data_size = self.mesh.shape["data"]
+            target = ((xb.shape[0] + data_size - 1) // data_size) * data_size
+        pad = target - xb.shape[0]
         if pad:
             xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
             yb = np.concatenate([yb, np.zeros((pad,) + yb.shape[1:], yb.dtype)])
@@ -436,6 +443,17 @@ class Trainer:
                 bad_epochs = saved.get("bad_epochs", bad_epochs)
                 plateau_best = saved.get("plateau_best", plateau_best)
                 plateau_bad = saved.get("plateau_bad", plateau_bad)
+                # Pre-crash epoch history continues too, so history JSON /
+                # RunMetrics cover the whole run, not just post-resume.
+                run.epoch_losses = list(saved.get("epoch_losses", []))
+                run.epoch_accs = list(saved.get("epoch_accs", []))
+                run.val_losses = list(saved.get("val_losses", []))
+                if saved.get("stopped"):
+                    # The run already early-stopped; training further would
+                    # diverge from the uninterrupted run it resumes.
+                    print("Checkpointed run had early-stopped; not training "
+                          "further.")
+                    start_epoch = t.epochs
         for epoch in range(start_epoch, t.epochs):
             # Per-step scalars stay ON DEVICE for the whole epoch: fetching
             # loss each step forces a device->host sync that serializes the
@@ -444,7 +462,9 @@ class Trainer:
             # epoch; log_every opts back into per-step syncs for visibility.
             step_stats = []  # [(loss, correct, total) device scalars]
             step_bs = []  # valid rows per step (host-known from the mask)
-            trace_ctx = device_trace(t.profile_dir if epoch == 0 else None)
+            # Trace the FIRST EXECUTED epoch (resumed runs start past 0).
+            trace_ctx = device_trace(t.profile_dir if epoch == start_epoch
+                                     else None)
             with trace_ctx:
                 for step_i, (xb, yb, mask) in enumerate(loader.epoch(rng)):
                     timer.start()  # opens a sync-to-sync span (no-op mid-span)
@@ -463,18 +483,23 @@ class Trainer:
                             f"step {int(state.step)}: loss {loss_f:.4f} "
                             f"({timer.last_ms:.1f} ms/step)"
                         )
-            # One stacked device->host fetch for the whole epoch; loss is each
-            # step's mean over valid rows, weighted by that step's valid count.
-            seen = int(sum(step_bs))
-            if step_stats:
-                losses, cs, ns = (
-                    np.asarray(jnp.stack(col)) for col in zip(*step_stats)
-                )
-                timer.sync()  # the stacked fetch above completed every step
-                epoch_loss = float(np.dot(losses, np.asarray(step_bs))) / max(seen, 1)
-                epoch_acc = float(np.sum(cs)) / max(float(np.sum(ns)), 1.0)
-            else:
-                epoch_loss, epoch_acc = 0.0, 0.0
+                # One stacked device->host fetch for the whole epoch; loss is
+                # each step's mean over valid rows, weighted by that step's
+                # valid count. INSIDE the trace context: the fetch forces the
+                # queued device work to finish before stop_trace, so the
+                # profile actually contains the epoch's compute.
+                seen = int(sum(step_bs))
+                if step_stats:
+                    losses, cs, ns = (
+                        np.asarray(jnp.stack(col)) for col in zip(*step_stats)
+                    )
+                    timer.sync()  # the stacked fetch completed every step
+                    epoch_loss = (
+                        float(np.dot(losses, np.asarray(step_bs))) / max(seen, 1)
+                    )
+                    epoch_acc = float(np.sum(cs)) / max(float(np.sum(ns)), 1.0)
+                else:
+                    epoch_loss, epoch_acc = 0.0, 0.0
             run.epoch_losses.append(epoch_loss)
             run.epoch_accs.append(epoch_acc)
             if log:
@@ -517,6 +542,10 @@ class Trainer:
                         "best_loss": best_loss, "bad_epochs": bad_epochs,
                         "plateau_best": plateau_best,
                         "plateau_bad": plateau_bad,
+                        "stopped": bool(stop),
+                        "epoch_losses": run.epoch_losses,
+                        "epoch_accs": run.epoch_accs,
+                        "val_losses": run.val_losses,
                     },
                 )
             if stop:
