@@ -388,14 +388,17 @@ def test_port_family_missing_key_raises(name, keygen):
 
 
 def test_port_family_extra_key_raises():
+    """The consume-everything policy flags any tensor no porter read.
+    (resnet18 — the smallest family — keeps this raise-path test cheap;
+    the policy lives in the shared _Porter, not per family.)"""
     from vct.models.backbones import BACKBONES
 
-    model = BACKBONES.get("vgg16")()
+    model = BACKBONES.get("resnet18")()
     v = model.init(jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 3)))
-    sd = _synth_state_dict(_vgg16_keys())
-    sd["features.99.weight"] = np.zeros((1, 1, 1, 1), np.float32)
+    sd = _fake_state_dict()
+    sd["layer9.0.conv1.weight"] = np.zeros((1, 1, 1, 1), np.float32)
     with pytest.raises(ValueError, match="Unconsumed"):
-        load_torch_backbone("vgg16", v, sd)
+        load_torch_backbone("resnet18", v, sd)
 
 
 def test_port_unknown_backbone_raises():
