@@ -121,6 +121,45 @@ class TestDeviceSamplers:
         assert out.shape == (1, 2, 4, 4, 3)
         np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
 
+    def test_device_resize_matches_cv2_downscale(self):
+        """The on-device bilinear downscale must match cv2.INTER_LINEAR
+        (antialias=False: cv2 does not low-pass on downscale)."""
+        cv2 = pytest.importorskip("cv2")
+        import jax.numpy as jnp
+
+        from vct.data.preprocess import preprocess_clips
+
+        rng = np.random.RandomState(0)
+        raw = rng.randint(0, 256, (1, 2, 64, 64, 3), np.uint8)
+        out = np.asarray(
+            preprocess_clips(jnp.asarray(raw), out_hw=(16, 16))
+        ) * 255.0
+        want = np.stack([
+            cv2.resize(f.astype(np.float32), (16, 16),
+                       interpolation=cv2.INTER_LINEAR)
+            for f in raw[0]
+        ])
+        np.testing.assert_allclose(out[0], want, atol=1e-3)
+
+    def test_device_sampling_short_clip_duplicates(self):
+        """A clip shorter than T duplicates its real frames cyclically
+        (host duplicate_frames parity) — never selects padding."""
+        import jax.numpy as jnp
+
+        from vct.data.preprocess import device_sample_clips
+
+        rng = np.random.RandomState(0)
+        raw = np.zeros((1, 8, 4, 4, 3), np.uint8)
+        real = rng.randint(1, 256, (3, 4, 4, 3), np.uint8)  # nonzero
+        raw[0, :3] = real
+        for method in ("uniform", "sad"):
+            out = np.asarray(device_sample_clips(
+                jnp.asarray(raw), 5, method=method,
+                lengths=jnp.asarray([3]),
+            ))
+            want = (real[[0, 1, 2, 0, 1]].astype(np.float32)) / 255.0
+            np.testing.assert_allclose(out[0], want, atol=1e-6)
+
 
 @pytest.fixture(scope="module")
 def video_dataset_dir(tmp_path_factory):

@@ -91,6 +91,26 @@ def test_multiclass_metrics_match_sklearn():
     assert ours.accuracy == pytest.approx((preds == labels).mean(), abs=1e-6)
 
 
+def test_multiclass_macro_skips_absent_classes():
+    """sklearn (and so the reference's labels-free macro call,
+    train_eval.py:112-113) averages over classes present in labels or
+    predictions — absent classes must not drag the macro to zero."""
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    rng = np.random.RandomState(0)
+    C = 6
+    labels = rng.randint(0, 4, 40)  # classes 4, 5 absent
+    logits = rng.randn(40, C).astype(np.float32)
+    logits[:, 4:] = -100.0  # never predicted either
+    conf = multiclass_confusion(jnp.asarray(logits), jnp.asarray(labels), C)
+    ours = multiclass_metrics(np.asarray(conf), [str(i) for i in range(C)])
+    preds = logits.argmax(-1)
+    p, r, f, _ = sklearn_metrics.precision_recall_fscore_support(
+        labels, preds, average="macro", zero_division=0
+    )
+    assert ours.f1 == pytest.approx(f, abs=1e-6)
+    assert ours.precision == pytest.approx(p, abs=1e-6)
+
+
 def test_multilabel_metrics_match_sklearn():
     sklearn_metrics = pytest.importorskip("sklearn.metrics")
     rng = np.random.RandomState(1)

@@ -21,16 +21,21 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from vct.data.samplers import device_frame_scores, device_select_topk
+from vct.data.samplers import device_frame_scores, device_topk_indices
 
 __all__ = ["preprocess_clips", "device_sample_clips"]
 
 
 def _resize_bilinear(x, out_h: int, out_w: int):
     """cv2.INTER_LINEAR-equivalent resize (half-pixel centers) over the last
-    three axes of (..., H, W, C)."""
+    three axes of (..., H, W, C).
+
+    antialias=False is required for the cv2 parity: cv2 bilinear does NOT
+    low-pass on downscale, while jax.image.resize defaults to antialias=True
+    (measured up to 102/255 apart on a 64->16 downscale; with
+    antialias=False the two are bit-exact)."""
     shape = x.shape[:-3] + (out_h, out_w, x.shape[-1])
-    return jax.image.resize(x, shape, method="linear")
+    return jax.image.resize(x, shape, method="linear", antialias=False)
 
 
 @partial(jax.jit, static_argnames=("out_hw", "normalize"))
@@ -61,7 +66,8 @@ def device_sample_clips(
 
     ``lengths`` (B,) gives each clip's true frame count when the L axis is
     padded up to a bucket size (bounded compile count — the padded tail is
-    masked out of selection, so results match the unpadded call exactly).
+    masked out of selection). Clips shorter than T duplicate their real
+    frames cyclically, matching the host ``duplicate_frames`` path.
 
     Methods — the device analogues of the host samplers:
       * "uniform": stride selection, idx = (true_len // T) * arange(T)
@@ -76,9 +82,17 @@ def device_sample_clips(
         if lengths is not None
         else jnp.full((raw.shape[0],), L, jnp.int32)
     )
+    # Short-clip parity with the host path: for true length n < T the host
+    # cyclically duplicates the real frames (duplicate_frames,
+    # loader_data.py:43-51) — never selects padding.
+    cyc = jnp.arange(sequence_length, dtype=jnp.int32)[None, :] % jnp.maximum(
+        lens, 1
+    )[:, None]
+    short = (lens < sequence_length)[:, None]
     if method == "uniform":
         interval = jnp.maximum(lens // sequence_length, 1)
         idx = interval[:, None] * jnp.arange(sequence_length, dtype=jnp.int32)
+        idx = jnp.where(short, cyc, idx)
         selected = jnp.take_along_axis(
             raw, idx[:, :, None, None, None], axis=1
         )
@@ -89,7 +103,10 @@ def device_sample_clips(
             # transitions at/after the true end are padding: never selected
             pos = jnp.arange(scores.shape[0])
             scores = jnp.where(pos < length - 1, scores, -jnp.inf)
-            return device_select_topk(clip, scores, sequence_length)
+            return device_topk_indices(scores, sequence_length)
 
-        selected = jax.vmap(one)(raw, lens)
+        idx = jnp.where(short, cyc, jax.vmap(one)(raw, lens))
+        selected = jnp.take_along_axis(
+            raw, idx[:, :, None, None, None], axis=1
+        )
     return preprocess_clips(selected, out_hw=out_hw)

@@ -281,15 +281,24 @@ def _device_ssim(a, b, win: int = 3, data_range: float = 255.0):
     return jnp.mean(s, axis=(1, 2, 3))
 
 
-def device_select_topk(clip, scores, sequence_length: int):
-    """Select frame 0 + top-(T-1) transitions by score, temporal order.
+def device_topk_indices(scores, sequence_length: int):
+    """Frame 0 + top-(T-1) transitions by score, in temporal order.
 
-    clip: (L, H, W, C) device array; scores: (L-1,). Returns (T, H, W, C).
+    scores: (L-1,). Returns sorted frame indices of shape (T,).
     """
     import jax
     import jax.numpy as jnp
 
     k = sequence_length - 1
     _, top_idx = jax.lax.top_k(scores, k)
-    idx = jnp.sort(jnp.concatenate([jnp.zeros(1, top_idx.dtype), top_idx + 1]))
-    return jnp.take(clip, idx, axis=0)
+    return jnp.sort(jnp.concatenate([jnp.zeros(1, top_idx.dtype), top_idx + 1]))
+
+
+def device_select_topk(clip, scores, sequence_length: int):
+    """Select frame 0 + top-(T-1) transitions by score, temporal order.
+
+    clip: (L, H, W, C) device array; scores: (L-1,). Returns (T, H, W, C).
+    """
+    import jax.numpy as jnp
+
+    return jnp.take(clip, device_topk_indices(scores, sequence_length), axis=0)

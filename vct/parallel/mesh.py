@@ -21,6 +21,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated",
+    "put_sharded",
     "shard_batch",
     "host_to_device",
     "activate_mesh",
@@ -84,10 +85,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_sharded(x, sharding: NamedSharding):
+    """Place one batch-leading array under ``sharding``, multi-process aware.
+
+    Single process: plain ``device_put``. Multi-process (one Python process
+    per TPU host): each host holds only ITS rows of the global batch
+    (``multihost.process_shard`` data loading), so the global array must be
+    assembled from per-process local shards — ``device_put`` with a global
+    sharding would silently slice each host's local array as if it were the
+    whole global batch."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a pytree of batch-leading arrays, sharded over data."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(lambda x: put_sharded(x, s), batch)
 
 
 def host_to_device(tree, mesh: Optional[Mesh] = None):

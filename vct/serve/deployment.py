@@ -90,7 +90,9 @@ def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32,
         batch_size = ((batch_size + data_size - 1) // data_size) * data_size
         shard = batch_sharding(mesh)
         variables = host_to_device(variables, mesh)
-        put = lambda x: jax.device_put(jnp.asarray(x), shard)  # noqa: E731
+        from vct.parallel.mesh import put_sharded
+
+        put = lambda x: put_sharded(np.asarray(x), shard)  # noqa: E731
     probs = []
     for start in range(0, len(clips), batch_size):
         chunk = clips[start : start + batch_size]

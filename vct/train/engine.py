@@ -349,17 +349,21 @@ class Trainer:
 
     def _put_batch(self, xb, yb, mask, shard):
         """Device-put one padded batch; uint8 clips are normalized on-device
-        (uint8 also quarters the host->device copy)."""
+        (uint8 also quarters the host->device copy). Multi-process aware:
+        each host contributes its local rows of the global batch
+        (vct.parallel.mesh.put_sharded)."""
+        from vct.parallel.mesh import put_sharded
+
         if xb.dtype == np.uint8:
             from vct.data.preprocess import preprocess_clips
 
-            xd = preprocess_clips(jax.device_put(jnp.asarray(xb), shard))
+            xd = preprocess_clips(put_sharded(xb, shard))
         else:
-            xd = jax.device_put(jnp.asarray(xb), shard)
+            xd = put_sharded(np.asarray(xb), shard)
         return (
             xd,
-            jax.device_put(jnp.asarray(yb), shard),
-            jax.device_put(jnp.asarray(mask), shard),
+            put_sharded(np.asarray(yb), shard),
+            put_sharded(np.asarray(mask, np.float32), shard),
         )
 
     def _with_mesh(self, fn):

@@ -112,11 +112,19 @@ def multiclass_metrics(confusion: np.ndarray, class_names: List[str]) -> RunMetr
                "f1": float(f1[i])}
         for i, name in enumerate(class_names)
     }
+    # Macro averages over classes PRESENT in labels-or-predictions, matching
+    # sklearn's default (and therefore the reference's
+    # precision_recall_fscore_support(average="macro") with no labels=,
+    # train_eval.py:112-113) — averaging zeros for absent classes would
+    # deflate the scraped Overall F1 on eval splits missing classes.
+    present = (confusion.sum(axis=0) + confusion.sum(axis=1)) > 0
+    if not present.any():
+        present = np.ones_like(present)
     return RunMetrics(
         accuracy=acc,
-        precision=float(precision.mean()),
-        recall=float(recall.mean()),
-        f1=float(f1.mean()),
+        precision=float(precision[present].mean()),
+        recall=float(recall[present].mean()),
+        f1=float(f1[present].mean()),
         per_class=per_class,
     )
 
