@@ -139,7 +139,7 @@ def test_teacher_forced_training_reduces_loss(tiny_setup, tmp_path):
     )
     assert losses[-1] < losses[0]
     # resume: restarting fit with the same dir continues past saved epoch
-    trainer.cfg = trainer.cfg  # unchanged
+
     state3, losses2 = trainer.fit(
         state2, videos, captions, batch_size=2,
         checkpoint_dir=str(tmp_path / "ck"), log=False,

@@ -47,8 +47,10 @@ def test_artifact_name_encodes_config():
     # runner.py:69-75 convention
     cfg = Config()
     name = cfg.artifact_name("best_model")
-    for frag in ("seq60", "batch32", "hidden32", "cnnresnet50", "rnntypemamba",
-                 "samplinguniform", "outall", "max1000", "epoch8",
+    # Exact reference fragments (runner.py:69-75 best_model_filename):
+    # rnn{input}, rnnType{..}, method{..}, epochs{..}.
+    for frag in ("seq60", "batch32", "hidden32", "cnnresnet50", "rnnTypemamba",
+                 "methoduniform", "outall", "max1000", "epochs8",
                  "classifmodemulticlass"):
         assert frag in name, frag
 

@@ -61,9 +61,7 @@ def test_e2e_multiple_binary(capsys):
         num_samples=16, sequence_length=4, height=32, width=32,
         num_classes=3, classif_mode="multiple_binary",
     )
-    tr = Trainer(cfg, names[:3])
-    # fix num_classes to 3
-    cfg = cfg.replace(**{"model.num_classes": "3"})
+    cfg = cfg.replace(**{"model.num_classes": "3"})  # match the 3-class data
     tr = Trainer(cfg, names[:3])
     state = tr.init_state(jax.random.PRNGKey(0), x)
     state, run = tr.fit(state, x, y)

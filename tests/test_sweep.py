@@ -142,7 +142,7 @@ def test_runner_threshold_and_artifact_name(tmp_path):
     r = R(cfg, store=SweepStore(cfg.sweep.checkpoint_file))
     best_f1, name = r.run_training({"model.rnn_type": "lstm"}, test_runs=3)
     assert best_f1 == pytest.approx(0.8)
-    assert name and "rnntypelstm" in name
+    assert name and "rnnTypelstm" in name
     results = r.store.load()
     assert len(results) == 1  # only above-threshold improvements recorded
     assert results[0]["metrics"]["f1_score"] == pytest.approx(0.8)

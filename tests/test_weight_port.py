@@ -256,12 +256,44 @@ def _efficientnet_b0_keys():
     return keys
 
 
+def _torchvision_inception_module_names():
+    """The torchvision inception_v3 conv-module name set, written out from
+    the documented architecture (torchvision inception.py) INDEPENDENTLY of
+    the flax tree — drift in the flax module naming fails the structural
+    assertion in _inception_v3_keys loudly."""
+    names = [
+        "Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+        "Conv2d_3b_1x1", "Conv2d_4a_3x3",
+    ]
+    inc_a = ["branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+             "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool"]
+    inc_b = ["branch3x3", "branch3x3dbl_1", "branch3x3dbl_2",
+             "branch3x3dbl_3"]
+    inc_c = ["branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+             "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+             "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"]
+    inc_d = ["branch3x3_1", "branch3x3_2", "branch7x7x3_1", "branch7x7x3_2",
+             "branch7x7x3_3", "branch7x7x3_4"]
+    inc_e = ["branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+             "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+             "branch3x3dbl_3b", "branch_pool"]
+    for block, branches in [
+        ("Mixed_5b", inc_a), ("Mixed_5c", inc_a), ("Mixed_5d", inc_a),
+        ("Mixed_6a", inc_b),
+        ("Mixed_6b", inc_c), ("Mixed_6c", inc_c), ("Mixed_6d", inc_c),
+        ("Mixed_6e", inc_c),
+        ("Mixed_7a", inc_d),
+        ("Mixed_7b", inc_e), ("Mixed_7c", inc_e),
+    ]:
+        names.extend(f"{block}.{b}" for b in branches)
+    return set(names)
+
+
 def _inception_v3_keys():
-    """Inception key list derived from our flax tree (the flax module names
-    were written to mirror torchvision 1:1, so paths translate directly);
-    channel shapes transposed back to OIHW. Covers consume-everything and
-    transpose correctness; naming parity is covered by the shared BasicConv2d
-    layout (`Mixed_5b.branch1x1.conv.weight`, torchvision inception.py)."""
+    """Inception key list: channel shapes come from our flax tree (no
+    torchvision in the image), but the MODULE-NAME STRUCTURE is asserted
+    against the independent hand-written torchvision architecture above, so
+    a naming drift in the flax tree cannot silently self-fulfil."""
     from vct.models.backbones.inception import inception_v3
 
     m = inception_v3()
@@ -275,6 +307,12 @@ def _inception_v3_keys():
             kh, kw, i, o = inner["conv"]["kernel"].shape
             keys[f"{dotted}.conv.weight"] = (o, i, kh, kw)
             _bn_keys(keys, f"{dotted}.bn", o)
+    derived = {k[: -len(".conv.weight")] for k in keys
+               if k.endswith(".conv.weight")}
+    assert derived == _torchvision_inception_module_names(), (
+        "flax inception module names drifted from the torchvision "
+        f"architecture: {sorted(derived ^ _torchvision_inception_module_names())[:6]}"
+    )
     keys["fc.weight"] = (1000, 2048)
     keys["fc.bias"] = (1000,)
     keys["AuxLogits.conv0.conv.weight"] = (128, 768, 1, 1)

@@ -309,12 +309,15 @@ class Config:
         convention of best-model files named by their hyperparameters
         (``runner.py:69-75``)."""
         m, t, d = self.model, self.train, self.data
+        # Field fragments match the reference's best_model_filename exactly
+        # (rnn{input}, rnnType{..}, method{..}, epochs{..}) so reference-era
+        # globs and cross-referencing keep working.
         return (
             f"{prefix}_seq{d.sequence_length}_batch{t.batch_size}"
             f"_hidden{m.resolved_hidden_size}_cnn{m.cnn_backbone}"
-            f"_rnninput{m.rnn_input_size}_layer{m.rnn_layer}_rnntype{m.rnn_type}"
-            f"_sampling{d.sampling_method}_out{m.rnn_out}_max{d.max_videos}"
-            f"_epoch{t.epochs}_classifmode{m.classif_mode}"
+            f"_rnn{m.rnn_input_size}_layer{m.rnn_layer}_rnnType{m.rnn_type}"
+            f"_method{d.sampling_method}_out{m.rnn_out}_max{d.max_videos}"
+            f"_epochs{t.epochs}_classifmode{m.classif_mode}"
         )
 
 

@@ -82,31 +82,31 @@ def device_sample_clips(
         if lengths is not None
         else jnp.full((raw.shape[0],), L, jnp.int32)
     )
-    # Short-clip parity with the host path: for true length n < T the host
-    # cyclically duplicates the real frames (duplicate_frames,
-    # loader_data.py:43-51) — never selects padding.
+    # Short-clip parity with the host path: for true length n <= T the host
+    # keeps/cyclically duplicates the real frames (duplicate_frames,
+    # loader_data.py:43-51) — never selects padding, never scores.
     cyc = jnp.arange(sequence_length, dtype=jnp.int32)[None, :] % jnp.maximum(
         lens, 1
     )[:, None]
-    short = (lens < sequence_length)[:, None]
-    if method == "uniform":
+    short = (lens <= sequence_length)[:, None]
+    if raw.shape[1] <= sequence_length:
+        idx = cyc
+    elif method == "uniform":
         interval = jnp.maximum(lens // sequence_length, 1)
         idx = interval[:, None] * jnp.arange(sequence_length, dtype=jnp.int32)
         idx = jnp.where(short, cyc, idx)
-        selected = jnp.take_along_axis(
-            raw, idx[:, :, None, None, None], axis=1
-        )
     else:
+        # ssim keeps the canonical frame0+later shape; sad/flow keep their
+        # lrcn-script earlier-frame shape (see device_topk_indices).
+        style = "canonical" if method == "ssim" else "script"
 
         def one(clip, length):
             scores = device_frame_scores(clip, method)
             # transitions at/after the true end are padding: never selected
             pos = jnp.arange(scores.shape[0])
             scores = jnp.where(pos < length - 1, scores, -jnp.inf)
-            return device_topk_indices(scores, sequence_length)
+            return device_topk_indices(scores, sequence_length, style)
 
         idx = jnp.where(short, cyc, jax.vmap(one)(raw, lens))
-        selected = jnp.take_along_axis(
-            raw, idx[:, :, None, None, None], axis=1
-        )
+    selected = jnp.take_along_axis(raw, idx[:, :, None, None, None], axis=1)
     return preprocess_clips(selected, out_hw=out_hw)

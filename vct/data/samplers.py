@@ -6,11 +6,12 @@ Host reference-parity implementations of the reference's samplers:
   * ``ssim_sampling`` — SSIM between consecutive frames (win 3, channelwise
     mean), keep frame 0 + the T-1 *lowest*-similarity (most-changed) frames in
     temporal order (``loader_data.py:19-33``)
-  * ``sad_sampling`` — sum-of-absolute-differences score variant
-    (``lrcn/ucf50-lrcn.py:64-100`` compute_sad)
+  * ``sad_sampling`` — sum-of-absolute-differences score
+    (``lrcn/lrcn.py:57-59`` compute_sad), lrcn-script selection shape
+    (``lrcn.py:158-161``: top-T transitions' earlier frames)
   * ``optical_flow_sampling`` — Farneback flow-magnitude score
-    (``lrcn/dump_lrcn.py:148-192``), with a frame-difference-energy proxy when
-    OpenCV is unavailable
+    (``lrcn/lrcn.py:65-72``), same script selection shape; a
+    frame-difference-energy proxy when OpenCV is unavailable
   * ``duplicate_frames`` — cyclic repeat up to T (``loader_data.py:43-51``)
 
 plus **device-side** scoring (``vct.data.samplers.device_*``): the same
@@ -106,10 +107,23 @@ def uniform_sampling(frames: Sequence[np.ndarray], sequence_length: int):
 
 
 def _score_based_sampling(frames, sequence_length, scores_low_is_selected):
-    """Keep frame 0 + the (T-1) best-scoring later frames, temporal order."""
+    """Canonical (loader_data.py:20-33 / ucf50-lrcn.py:69-82) selection:
+    frame 0 + the (T-1) best-scoring transitions' LATER frames, temporal
+    order. Used by ssim_sampling."""
     order = np.argsort(scores_low_is_selected, kind="stable")
     selected = [0] + [int(i) + 1 for i in order[: sequence_length - 1]]
     selected = sorted(set(selected))[:sequence_length]
+    return [frames[i] for i in selected]
+
+
+def _script_sampling(frames, sequence_length, diffs_high_is_selected):
+    """lrcn-script (lrcn.py:158-161 / rgb_lrcn.py:152-156) selection:
+    ``sorted(np.argsort(differences)[-T:])`` — the top-T transitions each
+    contribute their EARLIER frame index; frame 0 appears only when
+    transition 0 ranks, the last frame never does. SAD and optical-flow
+    sampling exist only in those scripts, so this is their parity shape."""
+    order = np.argsort(diffs_high_is_selected, kind="stable")
+    selected = sorted(int(i) for i in order[-sequence_length:])
     return [frames[i] for i in selected]
 
 
@@ -123,7 +137,8 @@ def ssim_sampling(frames: Sequence[np.ndarray], sequence_length: int):
 
 
 def sad_sampling(frames: Sequence[np.ndarray], sequence_length: int):
-    """Sum-of-absolute-differences: high SAD = most changed, selected."""
+    """Sum-of-absolute-differences (lrcn.py:57-59): high SAD = most changed;
+    selection follows the lrcn-script shape (``_script_sampling``)."""
     if len(frames) <= sequence_length:
         return list(frames)
     sads = np.array([
@@ -131,11 +146,12 @@ def sad_sampling(frames: Sequence[np.ndarray], sequence_length: int):
                - np.asarray(frames[i - 1], np.float64)).sum()
         for i in range(1, len(frames))
     ])
-    return _score_based_sampling(frames, sequence_length, -sads)
+    return _script_sampling(frames, sequence_length, sads)
 
 
 def optical_flow_sampling(frames: Sequence[np.ndarray], sequence_length: int):
-    """Farneback flow-magnitude score (dump_lrcn.py:148-169); falls back to
+    """Farneback flow-magnitude score (lrcn.py:65-72); selection follows the
+    lrcn-script shape (``_script_sampling``, lrcn.py:158-161). Falls back to
     frame-difference energy when OpenCV is unavailable."""
     if len(frames) <= sequence_length:
         return list(frames)
@@ -152,7 +168,7 @@ def optical_flow_sampling(frames: Sequence[np.ndarray], sequence_length: int):
         else:
             d = np.asarray(frames[i], np.float64) - np.asarray(frames[i - 1], np.float64)
             scores.append(float(np.square(d).sum()))
-    return _score_based_sampling(frames, sequence_length, -np.asarray(scores))
+    return _script_sampling(frames, sequence_length, np.asarray(scores))
 
 
 def duplicate_frames(frames: Sequence[np.ndarray], sequence_length: int):
@@ -175,8 +191,11 @@ def ssim_sampling_most_unique(frames: Sequence[np.ndarray], sequence_length: int
         return list(frames)
     scores = []
     for i in range(1, len(frames) - 1):
-        before = ssim_pair(frames[i], frames[i - 1])
-        after = ssim_pair(frames[i], frames[i + 1])
+        # dump_lrcn's compute_ssim (dump_lrcn.py:64-66) uses skimage's
+        # DEFAULT window (7), unlike the canonical loader's win_size=3 —
+        # keep each variant on its own source's window.
+        before = ssim_pair(frames[i], frames[i - 1], win_size=7)
+        after = ssim_pair(frames[i], frames[i + 1], win_size=7)
         scores.append((max(abs(before - 1), abs(after - 1)), i))
     scores.sort(reverse=True, key=lambda x: x[0])
     selected = {0}
@@ -281,14 +300,20 @@ def _device_ssim(a, b, win: int = 3, data_range: float = 255.0):
     return jnp.mean(s, axis=(1, 2, 3))
 
 
-def device_topk_indices(scores, sequence_length: int):
-    """Frame 0 + top-(T-1) transitions by score, in temporal order.
+def device_topk_indices(scores, sequence_length: int, style: str = "canonical"):
+    """Sorted frame indices (T,) from per-transition scores (L-1,).
 
-    scores: (L-1,). Returns sorted frame indices of shape (T,).
+    ``style="canonical"`` (ssim — loader_data.py:20-33): frame 0 + the
+    top-(T-1) transitions' LATER frames.
+    ``style="script"`` (sad/flow — lrcn.py:158-161): the top-T transitions'
+    EARLIER frames, no forced frame 0.
     """
     import jax
     import jax.numpy as jnp
 
+    if style == "script":
+        _, top_idx = jax.lax.top_k(scores, sequence_length)
+        return jnp.sort(top_idx)
     k = sequence_length - 1
     _, top_idx = jax.lax.top_k(scores, k)
     return jnp.sort(jnp.concatenate([jnp.zeros(1, top_idx.dtype), top_idx + 1]))
