@@ -14,6 +14,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+from vct.utils.cpumesh import apply_rendezvous_grace_inplace  # noqa: E402
 from vct.utils.hostcache import machine_cache_dir  # noqa: E402
 
 
@@ -38,6 +39,10 @@ def pytest_configure(config):
     xla = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in xla:
         env["XLA_FLAGS"] = (xla + " --xla_force_host_platform_device_count=8").strip()
+    # Extended collective rendezvous grace + single-threaded math libraries:
+    # 8 virtual devices time-slice one core here, and the default 40 s abort
+    # fires under load (observed rc=-6 in round 2).
+    apply_rendezvous_grace_inplace(env)
     # Persistent XLA compile cache: most suite time is CPU compiles of the
     # same tiny models; repeat runs hit the cache.
     env.setdefault(

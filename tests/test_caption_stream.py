@@ -1,0 +1,230 @@
+"""Out-of-core captioning: the lazy per-batch decode loader, RSS-bounded
+training, streaming BLEU eval, and engine-grade crash resume (VERDICT r2
+directives #2/#3).
+
+Reference parity target: the caption ``VideoDataset`` decodes lazily in
+``__getitem__`` (``/root/reference/s2vt/beam_search.py:91-118``) so caption
+training scales past RAM; vct reaches the same property through
+``LazyCaptionLoader`` + ``CaptionTrainer.fit``'s loader protocol.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from vct.caption.data import (
+    CaptionArrayLoader,
+    LazyCaptionLoader,
+    as_caption_loader,
+    encode_caption,
+)
+from vct.caption.vocab import Vocabulary
+from vct.core.config import CaptionConfig
+
+SENTENCES = ["a man is cooking", "a dog runs fast", "a man runs",
+             "a dog is cooking"]
+
+
+def _vocab():
+    v = Vocabulary(freq_threshold=1)
+    v.build_vocabulary(SENTENCES)
+    return v
+
+
+def _write_videos(dirpath, n, frames, size, ext=".mp4"):
+    cv2 = pytest.importorskip("cv2")
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.RandomState(0)
+    ann_lines = []
+    for i in range(n):
+        name = f"vid{i}"
+        w = cv2.VideoWriter(
+            os.path.join(dirpath, name + ext),
+            cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (size, size),
+        )
+        for _ in range(frames):
+            w.write(rng.randint(0, 256, (size, size, 3), np.uint8))
+        w.release()
+        ann_lines.append(f"{name} {SENTENCES[i % len(SENTENCES)]}")
+    ann = os.path.join(dirpath, "ann.txt")
+    with open(ann, "w") as f:
+        f.write("\n".join(ann_lines) + "\n")
+    return ann
+
+
+def _vm_rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return float(line.split()[1]) / 1024.0
+    raise RuntimeError("no VmRSS")
+
+
+def test_lazy_loader_streams_uint8(tmp_path):
+    v = _vocab()
+    d = str(tmp_path / "vids")
+    ann = _write_videos(d, 5, frames=6, size=32)
+    loader = LazyCaptionLoader(d, ann, v, batch_size=2, num_frames=3,
+                               max_caption_len=6, size=32, video_ext=".mp4")
+    assert loader.num_examples == 5
+    assert len(loader.references) == 5
+    batches = list(loader.epoch())
+    assert len(batches) == 3
+    xb, yb, mask = batches[0]
+    assert xb.dtype == np.uint8 and xb.shape == (2, 3, 32, 32, 3)
+    assert yb.shape == (2, 6) and yb[0, 0] == v["<start>"]
+    # tail batch mask-pads to the fixed jit shape
+    xt, yt, mt = batches[-1]
+    assert xt.shape == (2, 3, 32, 32, 3)
+    np.testing.assert_array_equal(mt, [1.0, 0.0])
+    # exactly one permutation consumed per shuffled epoch (resume contract)
+    rng = np.random.RandomState(7)
+    list(loader.epoch(rng))
+    rng2 = np.random.RandomState(7)
+    rng2.permutation(5)
+    assert rng.randint(1 << 30) == rng2.randint(1 << 30)
+
+
+def test_lazy_loader_skips_missing_files(tmp_path, capsys):
+    v = _vocab()
+    d = str(tmp_path / "vids")
+    ann = _write_videos(d, 2, frames=4, size=32)
+    with open(ann, "a") as f:
+        f.write("ghost a man runs\n")
+    loader = LazyCaptionLoader(d, ann, v, batch_size=2, num_frames=2,
+                               size=32, video_ext=".mp4")
+    assert loader.num_examples == 2
+    assert "Error processing ghost" in capsys.readouterr().out
+
+
+def test_as_caption_loader_coerces():
+    v = _vocab()
+    videos = np.random.RandomState(0).rand(3, 2, 16, 16, 3).astype(np.float32)
+    caps = np.stack([encode_caption(s, v, 5) for s in SENTENCES[:3]])
+    loader = as_caption_loader(videos, caps, batch_size=2)
+    assert isinstance(loader, CaptionArrayLoader)
+    assert as_caption_loader(loader) is loader
+    with pytest.raises(TypeError):
+        as_caption_loader(videos)
+
+
+@pytest.mark.slow
+def test_caption_training_out_of_core_rss(tmp_path):
+    """Training over a lazy loader keeps RSS growth far below the decoded
+    float32 dataset (the round-2 regression: load_caption_dataset
+    materialized every clip up front; 36 GB at MSVD scale).
+
+    A trivial registered backbone keeps per-frame compute negligible so the
+    dataset can be big enough (151 MB decoded) that data residency dwarfs
+    allocator noise; the first fit call warms every XLA arena, the second is
+    the measurement."""
+    import flax.linen as nn
+
+    from vct.models.backbones import BACKBONES
+
+    class _TinyBackbone(nn.Module):
+        dtype: object = np.float32
+        feature_dim: int = 8
+
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), strides=(8, 8), name="conv")(x)
+            return x.mean(axis=(1, 2))
+
+    BACKBONES.register(
+        "tiny_test_rss",
+        lambda dtype=np.float32, name=None: _TinyBackbone(dtype=dtype, name=name),
+    )
+    v = _vocab()
+    n, t, size = 96, 8, 128
+    d = str(tmp_path / "vids")
+    ann = _write_videos(d, n, frames=t, size=size)
+    f32_mb = n * t * size * size * 3 * 4 / 1e6  # ~151 MB decoded dataset
+    cfg = CaptionConfig(
+        cnn_backbone="tiny_test_rss", cnn_output_size=8, hidden_size=8,
+        num_frames=t, max_caption_len=6, epochs=1, dropout=0.0,
+        checkpoint_dir="",
+    )
+    from vct.caption.train import CaptionTrainer
+
+    trainer = CaptionTrainer(cfg, v)
+    loader = LazyCaptionLoader(d, ann, v, batch_size=2, num_frames=t,
+                               max_caption_len=6, size=size, video_ext=".mp4")
+    sample_x, sample_y = loader.peek()
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), sample_x.astype(np.float32) / 255.0, sample_y
+    )
+    # Warm epoch: compiles the fixed-shape step and touches every arena.
+    state, _ = trainer.fit(state, loader, batch_size=2, log=False)
+
+    before = _vm_rss_mb()
+    state, losses = trainer.fit(state, loader, batch_size=2, log=False)
+    growth = _vm_rss_mb() - before
+    assert len(losses) == 1 and np.isfinite(losses[-1])
+    assert growth < f32_mb / 3, (
+        f"RSS grew {growth:.0f} MB on a {f32_mb:.0f} MB (decoded) dataset"
+    )
+
+
+def test_caption_resume_matches_uninterrupted(tmp_path):
+    """Crash-resumed caption training reproduces the uninterrupted run's
+    losses exactly: same permutations (shuffle fast-forward), same dropout
+    stream (rng checkpointed), same optimizer moments."""
+    v = _vocab()
+    rng = np.random.RandomState(0)
+    videos = rng.rand(6, 3, 32, 32, 3).astype(np.float32)
+    caps = np.stack([
+        encode_caption(SENTENCES[i % len(SENTENCES)], v, 6) for i in range(6)
+    ])
+    base = dict(cnn_backbone="resnet18", cnn_output_size=8, hidden_size=8,
+                num_frames=3, max_caption_len=6, learning_rate=3e-3,
+                checkpoint_dir="")
+    from vct.caption.train import CaptionTrainer
+
+    # uninterrupted 3-epoch reference run
+    tr_ref = CaptionTrainer(CaptionConfig(epochs=3, **base), v)
+    s = tr_ref.init_state(jax.random.PRNGKey(0), videos, caps)
+    _, losses_ref = tr_ref.fit(s, videos, caps, batch_size=2, log=False)
+
+    ck = str(tmp_path / "ck")
+    # epoch 1, then "crash"
+    tr1 = CaptionTrainer(CaptionConfig(epochs=1, **base), v)
+    s1 = tr1.init_state(jax.random.PRNGKey(0), videos, caps)
+    tr1.fit(s1, videos, caps, batch_size=2, checkpoint_dir=ck, log=False)
+
+    # fresh process: resume to 3 epochs
+    tr2 = CaptionTrainer(CaptionConfig(epochs=3, **base), v)
+    s2 = tr2.init_state(jax.random.PRNGKey(0), videos, caps)
+    _, losses_res = tr2.fit(s2, videos, caps, batch_size=2,
+                            checkpoint_dir=ck, log=False)
+    assert len(losses_res) == 3
+    np.testing.assert_allclose(losses_res, losses_ref, rtol=1e-5)
+
+
+def test_streaming_bleu_eval(tmp_path, capsys):
+    """BLEU eval consumes the lazy loader directly (references ride along),
+    decoding per fixed-shape batch — captioning is out-of-core end to end."""
+    v = _vocab()
+    d = str(tmp_path / "vids")
+    ann = _write_videos(d, 3, frames=4, size=32)
+    cfg = CaptionConfig(cnn_backbone="resnet18", cnn_output_size=8,
+                        hidden_size=8, num_frames=2, max_caption_len=6,
+                        epochs=1, beam_width=2)
+    from vct.caption.train import CaptionTrainer
+
+    trainer = CaptionTrainer(cfg, v)
+    loader = LazyCaptionLoader(d, ann, v, batch_size=2, num_frames=2,
+                               max_caption_len=6, size=32, video_ext=".mp4")
+    sample_x, sample_y = loader.peek()
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), sample_x.astype(np.float32) / 255.0, sample_y
+    )
+    score = trainer.evaluate_bleu(state, loader)  # references from loader
+    out = capsys.readouterr().out
+    assert "Average BLEU score:" in out
+    assert 0.0 <= score <= 1.0
+    hyps = trainer.caption_videos(state, loader, beam_width=1)
+    assert len(hyps) == 3  # padded rows dropped

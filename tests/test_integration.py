@@ -197,6 +197,29 @@ def test_dryrun_multichip_self_provisions():
     assert "dryrun_multichip ok" in p.stdout
 
 
+@pytest.mark.slow
+def test_dryrun_multihost_two_ranks():
+    """The multi-PROCESS path actually executes: 2 jax.distributed ranks
+    (Gloo over localhost) x 4 virtual CPU devices run one sharded train step
+    through put_sharded's make_array_from_process_local_data branch
+    (vct/parallel/mesh.py), process_shard disjoint data loading, and the
+    collective checkpoint save with is_primary-gated fs writes."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    for k in ("JAX_PLATFORMS", "XLA_FLAGS", "VCT_TEST_REEXEC", "VCT_TEST_TPU"):
+        env.pop(k, None)
+    env["PYTHONPATH"] = repo
+    p = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multihost(2, 4)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "dryrun_multihost ok" in p.stdout
+
+
 def test_device_sampling_loader(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from vct.serve.deployment import _load_with_device_sampling

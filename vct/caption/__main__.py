@@ -15,8 +15,8 @@ import jax
 import numpy as np
 
 from vct.caption.data import (
+    LazyCaptionLoader,
     encode_caption,
-    load_caption_dataset,
     preprocess_annotations,
 )
 from vct.caption.train import CaptionTrainer
@@ -82,11 +82,32 @@ def main(argv=None) -> int:
         _, sentences = preprocess_annotations(annotations_path)
         vocab = Vocabulary(cfg.freq_threshold)
         vocab.build_vocabulary(sentences)
-        videos, captions, kept = load_caption_dataset(
-            video_dir, annotations_path, vocab,
+        # Out-of-core: clips decode per batch at iteration time (uint8 feed,
+        # /255 on device) — RAM stays O(batch) at any dataset size.
+        loader = LazyCaptionLoader(
+            video_dir, annotations_path, vocab, batch_size=batch_size,
             num_frames=cfg.num_frames, max_caption_len=cfg.max_caption_len,
         )
-        refs = [[tokenize_caption(c)] for _, c in kept]
+        sample_x, sample_y = loader.peek()
+        print(f"Vocabulary size: {len(vocab)}; dataset: "
+              f"{loader.num_examples} clips (lazy)")
+        trainer = CaptionTrainer(cfg, vocab)
+        state = trainer.init_state(
+            jax.random.PRNGKey(0),
+            sample_x.astype(np.float32) / 255.0, sample_y,
+        )
+        state, losses = trainer.fit(
+            state, loader, batch_size=batch_size,
+            checkpoint_dir=cfg.checkpoint_dir,
+        )
+        print(losses)
+        if do_eval:
+            trainer.evaluate_bleu(state, loader)
+            for words in trainer.caption_videos(
+                state, loader.peek()[0].astype(np.float32) / 255.0
+            ):
+                print("Caption:", " ".join(words))
+        return 0
 
     print(f"Vocabulary size: {len(vocab)}; dataset: {videos.shape}")
     trainer = CaptionTrainer(cfg, vocab)

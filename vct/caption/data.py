@@ -21,6 +21,9 @@ __all__ = [
     "encode_caption",
     "extract_frames_interval",
     "load_caption_dataset",
+    "CaptionArrayLoader",
+    "LazyCaptionLoader",
+    "as_caption_loader",
 ]
 
 
@@ -64,10 +67,13 @@ def encode_caption(caption: str, vocab: Vocabulary, max_len: int) -> np.ndarray:
 
 
 def extract_frames_interval(
-    path: str, target_frames: int = 30, size: int = 224
+    path: str, target_frames: int = 30, size: int = 224, as_uint8: bool = False
 ) -> np.ndarray:
     """Interval frame extraction with last-frame padding
-    (beam_search.py:143-180). Returns (T, size, size, 3) float32 in [0,1]."""
+    (beam_search.py:143-180). Returns (T, size, size, 3): float32 in [0,1]
+    by default, or raw uint8 with ``as_uint8=True`` (the on-device /255 path
+    — numerically identical because the reference also resizes the uint8
+    frame BEFORE dividing)."""
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -81,15 +87,15 @@ def extract_frames_interval(
         if not ret or len(frames) >= target_frames:
             break
         if count % interval == 0:
-            frame = cv2.resize(frame, (size, size))
-            frames.append(frame.astype(np.float32) / 255.0)
+            frames.append(cv2.resize(frame, (size, size)))
         count += 1
     cap.release()
     if not frames:
         raise ValueError(f"No frames found in {path}")
     while len(frames) < target_frames:
         frames.append(frames[-1])
-    return np.stack(frames)
+    clip = np.stack(frames)
+    return clip if as_uint8 else clip.astype(np.float32) / 255.0
 
 
 def load_caption_dataset(
@@ -119,3 +125,117 @@ def load_caption_dataset(
     x = np.stack(clips) if clips else np.zeros((0, num_frames, size, size, 3), np.float32)
     y = np.stack(caps) if caps else np.zeros((0, max_caption_len), np.int32)
     return x, y, kept
+
+
+# ----------------------------------------------------------------------
+# Caption batch loaders — the same (num_examples, batch_size, epoch(rng))
+# protocol the classifier engine consumes (vct/data/loaders.py), so caption
+# training is out-of-core too. Exactly one rng.permutation per shuffled
+# epoch, so checkpoint resume fast-forwards the shuffle stream.
+# ----------------------------------------------------------------------
+
+
+class CaptionArrayLoader:
+    """In-memory (clips, captions) batches, mask-padded to a fixed shape."""
+
+    def __init__(self, videos: np.ndarray, captions: np.ndarray,
+                 batch_size: int):
+        from vct.data.loaders import _pad  # shared pad-and-mask helper
+
+        self._pad = _pad
+        self.videos, self.captions = videos, captions
+        self.batch_size = batch_size
+        self.num_examples = len(videos)
+
+    def epoch(self, rng=None):
+        order = (rng.permutation(self.num_examples) if rng is not None
+                 else np.arange(self.num_examples))
+        for start in range(0, self.num_examples, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            yield self._pad(
+                self.videos[idx], self.captions[idx], len(idx),
+                self.batch_size,
+            )
+
+
+class LazyCaptionLoader:
+    """Out-of-core caption loader: decode each batch's clips from the video
+    files AT ITERATION TIME, the reference ``VideoDataset.__getitem__``
+    discipline (``s2vt/beam_search.py:91-118``) — resident memory is
+    O(batch), so caption training scales to datasets far larger than RAM.
+    Clips come back uint8 (quarters the host->device copy); the /255
+    normalize happens on device (``vct.data.preprocess.preprocess_clips``).
+
+    Captions encode once up front (tiny); missing video files are skipped
+    with a print at construction, matching ``load_caption_dataset``'s
+    defensive-skip style (loader_data.py:301-303 pattern).
+    """
+
+    def __init__(
+        self,
+        video_dir: str,
+        annotations,
+        vocab: Vocabulary,
+        batch_size: int = 4,
+        num_frames: int = 30,
+        max_caption_len: int = 30,
+        size: int = 224,
+        video_ext: str = ".avi",
+        limit: int = 0,
+    ):
+        from vct.caption.vocab import tokenize_caption
+        from vct.data.loaders import _pad
+
+        self._pad = _pad
+        if isinstance(annotations, str):
+            annotations, _ = preprocess_annotations(annotations)
+        if limit:
+            annotations = annotations[:limit]
+        self.paths: List[str] = []
+        self.annotations: List[Tuple[str, str]] = []
+        caps = []
+        for video_file, caption in annotations:
+            path = os.path.join(video_dir, video_file + video_ext)
+            if not os.path.exists(path):
+                print(f"Error processing {video_file}: file not found")
+                continue
+            self.paths.append(path)
+            self.annotations.append((video_file, caption))
+            caps.append(encode_caption(caption, vocab, max_caption_len))
+        self.captions = (
+            np.stack(caps) if caps
+            else np.zeros((0, max_caption_len), np.int32)
+        )
+        # Tokenized references aligned with iteration order (BLEU eval).
+        self.references = [[tokenize_caption(c)] for _, c in self.annotations]
+        self.batch_size = batch_size
+        self.num_frames, self.size = num_frames, size
+        self.num_examples = len(self.paths)
+
+    def _decode(self, i: int) -> np.ndarray:
+        return extract_frames_interval(
+            self.paths[i], self.num_frames, self.size, as_uint8=True
+        )
+
+    def peek(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(clip[1], caption[1]) of the first item — for model init."""
+        return self._decode(0)[None], self.captions[:1]
+
+    def epoch(self, rng=None):
+        order = (rng.permutation(self.num_examples) if rng is not None
+                 else np.arange(self.num_examples))
+        for start in range(0, self.num_examples, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            xb = np.stack([self._decode(i) for i in idx])
+            yield self._pad(xb, self.captions[idx], len(idx), self.batch_size)
+
+
+def as_caption_loader(videos, captions=None, batch_size: int = 4):
+    """Coerce (videos, captions) arrays or a loader-shaped object."""
+    if hasattr(videos, "epoch") and hasattr(videos, "num_examples"):
+        return videos
+    if captions is None:
+        raise TypeError(f"not a caption loader and no captions: {type(videos)!r}")
+    return CaptionArrayLoader(
+        np.asarray(videos), np.asarray(captions), batch_size
+    )

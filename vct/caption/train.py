@@ -100,6 +100,7 @@ class CaptionTrainer:
             {"train": base, "freeze": optax.set_to_zero()}, labels
         )
         self._train_step = None
+        self._val_step = None
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_video, sample_caption) -> CaptionState:
@@ -116,10 +117,23 @@ class CaptionTrainer:
             rng=rng,
         )
 
+    @staticmethod
+    def _token_nll(logp, captions, row_mask):
+        """(mean CE over non-pad tokens of valid rows, token count).
+
+        CE(ignore_index=<pad>) over (B, L, V) vs targets (B, L); ``row_mask``
+        zeroes the loader's padding rows so tail batches keep a fixed jit
+        shape without training phantom samples."""
+        tgt = captions.astype(jnp.int32)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        tok = (tgt != PAD_ID).astype(jnp.float32) * row_mask[:, None]
+        count = jnp.sum(tok)
+        return jnp.sum(nll * tok) / jnp.maximum(count, 1.0), count
+
     def _build_train_step(self):
         model, tx = self.model, self._tx
 
-        def train_step(state: CaptionState, video, captions):
+        def train_step(state: CaptionState, video, captions, row_mask):
             rng, dropout_rng = jax.random.split(state.rng)
 
             def loss_of(params):
@@ -130,13 +144,11 @@ class CaptionTrainer:
                     deterministic=False,
                     rngs={"dropout": dropout_rng},
                 )
-                # CE(ignore_index=<pad>) over (B, L, V) vs targets (B, L)
-                tgt = captions.astype(jnp.int32)
-                nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-                mask = (tgt != PAD_ID).astype(jnp.float32)
-                return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+                return self._token_nll(logp, captions, row_mask)
 
-            loss, grads = jax.value_and_grad(loss_of)(state.params)
+            (loss, tokens), grads = jax.value_and_grad(loss_of, has_aux=True)(
+                state.params
+            )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (
@@ -145,76 +157,190 @@ class CaptionTrainer:
                     opt_state=opt_state, rng=rng,
                 ),
                 loss,
+                tokens,
             )
 
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_val_step(self):
+        model = self.model
+
+        def val_step(params, extra_vars, video, captions, row_mask):
+            logp = model.apply(
+                {"params": params, **extra_vars}, video, captions
+            )
+            return self._token_nll(logp, captions, row_mask)
+
+        return jax.jit(val_step)
+
+    def _put_batch(self, xb, yb, mask):
+        """Device-put one batch; uint8 clips (the lazy out-of-core loader's
+        native dtype) normalize on device — same kernel as the classifier
+        engine (engine.py _put_batch)."""
+        if xb.dtype == np.uint8:
+            from vct.data.preprocess import preprocess_clips
+
+            xd = preprocess_clips(jax.device_put(xb))
+        else:
+            xd = jnp.asarray(xb)
+        return xd, jnp.asarray(yb), jnp.asarray(mask, jnp.float32)
 
     # ------------------------------------------------------------------
     def fit(
         self,
         state: CaptionState,
-        videos: np.ndarray,
-        captions: np.ndarray,
+        videos,
+        captions: Optional[np.ndarray] = None,
         batch_size: int = 4,
         checkpoint_dir: Optional[str] = None,
         log: bool = True,
+        val=None,
     ) -> Tuple[CaptionState, List[float]]:
+        """Teacher-forced epoch loop with the classifier engine's discipline.
+
+        ``videos`` is either an in-memory clip array (with ``captions``) or
+        any caption batch loader (``vct.caption.data``) — in particular
+        ``LazyCaptionLoader``, which decodes per batch so training is
+        out-of-core. Per-step scalars stay ON DEVICE for the whole epoch
+        (one stacked fetch per epoch; ``caption.log_every`` opts back into
+        per-step syncs); resume fast-forwards the shuffle stream so epoch k
+        of a resumed run trains on the same permutation as an uninterrupted
+        one. ``val``: optional (videos, captions) tuple or loader scored
+        each epoch with the deterministic val step.
+        """
+        from vct.caption.data import as_caption_loader
+        from vct.utils.profiling import StepTimer, write_history
+
         if self._train_step is None:
             self._train_step = self._build_train_step()
         step_fn = self._train_step
         cfg = self.cfg
+        loader = as_caption_loader(videos, captions, batch_size)
+        val_loader = None
+        if val is not None:
+            val_loader = (
+                as_caption_loader(val[0], val[1], batch_size)
+                if isinstance(val, tuple) else as_caption_loader(val)
+            )
         ckpt_dir = checkpoint_dir or cfg.checkpoint_dir
         start_epoch = 0
+        loss_arr: List[float] = []
+        val_arr: List[float] = []
         if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
-            state, start_epoch = self.load_checkpoint(ckpt_dir, state)
+            state, start_epoch, manifest = self.load_checkpoint(ckpt_dir, state)
+            # Pre-crash history continues, so the returned losses (and the
+            # history JSON) cover the whole run, not just post-resume.
+            loss_arr = list(manifest.get("epoch_losses", []))
+            val_arr = list(manifest.get("val_losses", []))
             print(f"Checkpoint loaded. Resuming from epoch {start_epoch}")
 
-        loss_arr: List[float] = []
-        n = len(videos)
         rng = np.random.RandomState(0)
+        # Fast-forward the shuffle stream: every loader consumes exactly one
+        # permutation per epoch, so epoch k resumes onto ITS permutation
+        # (the invariant the classifier engine keeps, engine.py fit).
+        for _ in range(start_epoch):
+            rng.permutation(loader.num_examples)
+        timer = StepTimer()
+        start = time.time()
         for epoch in range(start_epoch, cfg.epochs):
-            order = rng.permutation(n)
-            total_loss, batches_n = 0.0, 0
-            for s in range(0, n, batch_size):
-                idx = order[s : s + batch_size]
-                if len(idx) < batch_size:
-                    # Wrap-pad the tail batch from the epoch's own order so
-                    # every sample trains every epoch at a fixed jit shape.
-                    pad = np.resize(order, batch_size - len(idx))
-                    idx = np.concatenate([idx, pad])
-                state, loss = step_fn(
-                    state, jnp.asarray(videos[idx]), jnp.asarray(captions[idx])
+            step_stats = []  # [(loss, token_count) device scalars]
+            for step_i, (xb, yb, mask) in enumerate(loader.epoch(rng)):
+                timer.start()
+                xd, yd, md = self._put_batch(xb, yb, mask)
+                state, loss, tokens = step_fn(state, xd, yd, md)
+                timer.step()
+                sync = cfg.log_every and (step_i + 1) % cfg.log_every == 0
+                if sync:
+                    loss_f = float(loss)  # forces completion for timing
+                    timer.sync()
+                    print(
+                        f"step {int(state.step)}: loss {loss_f:.4f} "
+                        f"({timer.last_ms:.1f} ms/step)"
+                    )
+                step_stats.append((loss, tokens))
+            # ONE stacked device->host fetch per epoch; the epoch loss is the
+            # token-weighted mean (exact: each step's loss is a mean over its
+            # own valid-token count).
+            if step_stats:
+                losses, toks = (
+                    np.asarray(jnp.stack(col)) for col in zip(*step_stats)
                 )
-                total_loss += float(loss)
-                batches_n += 1
-            epoch_loss = total_loss / max(batches_n, 1)
+                timer.sync()
+                epoch_loss = (
+                    float(np.dot(losses, toks)) / max(float(toks.sum()), 1.0)
+                )
+            else:
+                epoch_loss = 0.0
             loss_arr.append(epoch_loss)
             if log:
                 print(f"Epoch [{epoch + 1}/{cfg.epochs}], Loss: {epoch_loss}")
+            if val_loader is not None:
+                val_loss = self._val_loss(state, val_loader)
+                val_arr.append(val_loss)
+                if log:
+                    print(f"Validation Loss: {val_loss:.4f}")
             if ckpt_dir:
-                self.save_checkpoint(ckpt_dir, state, epoch + 1, epoch_loss)
+                self.save_checkpoint(
+                    ckpt_dir, state, epoch + 1, epoch_loss,
+                    extra={"epoch_losses": loss_arr, "val_losses": val_arr},
+                )
+        if cfg.history_path:
+            write_history(
+                cfg.history_path,
+                {
+                    "train_loss": loss_arr,
+                    "val_loss": val_arr,
+                    "training_duration": time.time() - start,
+                    "step_times": timer.summary(),
+                },
+            )
         return state, loss_arr
 
+    def _val_loss(self, state: CaptionState, val_loader) -> float:
+        """Token-weighted mean CE over the val set; device scalars
+        accumulate, ONE fetch at the end (no per-batch sync)."""
+        if self._val_step is None:
+            self._val_step = self._build_val_step()
+        stats = []
+        for xb, yb, mask in val_loader.epoch():
+            xd, yd, md = self._put_batch(xb, yb, mask)
+            stats.append(
+                self._val_step(state.params, state.extra_vars, xd, yd, md)
+            )
+        if not stats:
+            return 0.0
+        losses, toks = (np.asarray(jnp.stack(col)) for col in zip(*stats))
+        return float(np.dot(losses, toks)) / max(float(toks.sum()), 1.0)
+
     # ------------------------------------------------------------------
-    def save_checkpoint(self, path: str, state: CaptionState, epoch: int, loss: float):
+    def save_checkpoint(self, path: str, state: CaptionState, epoch: int,
+                        loss: float, extra: Optional[dict] = None):
         # Reuse the classifier's crash-safe swap: a kill mid-save leaves the
         # previous complete checkpoint, never a manifest pointing at nothing.
         from vct.train.checkpoint import _atomic_json_write, _atomic_tree_save
 
         os.makedirs(path, exist_ok=True)
+        # rng + step included so a resumed run continues the dropout stream
+        # exactly where the crash left it (engine-grade resume: a resumed
+        # run must reproduce the uninterrupted run bit-for-bit).
         tree = {
             "params": jax.device_get(state.params),
             "extra_vars": jax.device_get(state.extra_vars),
             "opt_state": jax.device_get(state.opt_state),
+            "rng": jax.device_get(state.rng),
+            "step": jax.device_get(state.step),
         }
         _atomic_tree_save(os.path.join(path, "state"), tree)
         _atomic_json_write(
             os.path.join(path, "manifest.json"),
-            {"epoch": epoch, "loss": loss, "vocab": self.vocab.to_dict()},
+            {"epoch": epoch, "loss": loss, "vocab": self.vocab.to_dict(),
+             **(extra or {})},
         )
         print(f"Checkpoint saved at epoch {epoch}")
 
-    def load_checkpoint(self, path: str, state: CaptionState) -> Tuple[CaptionState, int]:
+    def load_checkpoint(
+        self, path: str, state: CaptionState
+    ) -> Tuple[CaptionState, int, dict]:
         import orbax.checkpoint as ocp
 
         from vct.caption.vocab import Vocabulary
@@ -233,6 +359,8 @@ class CaptionTrainer:
             "params": jax.device_get(state.params),
             "extra_vars": jax.device_get(state.extra_vars),
             "opt_state": jax.device_get(state.opt_state),
+            "rng": jax.device_get(state.rng),
+            "step": jax.device_get(state.step),
         }
         tree = ckpt.restore(os.path.join(path, "state"), target)
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
@@ -240,38 +368,69 @@ class CaptionTrainer:
             params=as_jnp(tree["params"]),
             extra_vars=as_jnp(tree["extra_vars"]),
             opt_state=as_jnp(tree["opt_state"]),
+            rng=jnp.asarray(tree["rng"]),
+            step=jnp.asarray(tree["step"]),
         )
-        return state, int(manifest["epoch"])
+        return state, int(manifest["epoch"]), manifest
 
     # ------------------------------------------------------------------
+    def _prep_videos(self, videos) -> jax.Array:
+        if np.asarray(videos).dtype == np.uint8:
+            from vct.data.preprocess import preprocess_clips
+
+            return preprocess_clips(jax.device_put(np.asarray(videos)))
+        return jnp.asarray(videos)
+
+    def _decode_batch(self, variables, videos, beam_width: int) -> List[List[str]]:
+        if beam_width <= 1:
+            tokens = np.asarray(
+                greedy_decode(self.model, variables, self._prep_videos(videos),
+                              max_len=self.cfg.max_caption_len)
+            )
+        else:
+            tokens, _ = beam_search(
+                self.model, variables, self._prep_videos(videos),
+                beam_width=beam_width, max_len=self.cfg.max_caption_len,
+            )
+            tokens = np.asarray(tokens)
+        return [decode_tokens(row, self.vocab) for row in tokens]
+
     def caption_videos(
         self,
         state: CaptionState,
-        videos: np.ndarray,
+        videos,
         beam_width: Optional[int] = None,
     ) -> List[List[str]]:
+        """Decode captions for an array of clips OR a caption loader.
+
+        The loader path streams: each fixed-shape batch decodes on device,
+        padded rows drop on the host — captioning is out-of-core end to end
+        (the reference's beam eval also decodes per DataLoader batch,
+        ``s2vt/beam_search.py:488-491``)."""
         variables = {"params": state.params, **state.extra_vars}
         beam_width = beam_width if beam_width is not None else self.cfg.beam_width
-        if beam_width <= 1:
-            tokens = np.asarray(
-                greedy_decode(self.model, variables, jnp.asarray(videos),
-                              max_len=self.cfg.max_caption_len)
-            )
-            return [decode_tokens(row, self.vocab) for row in tokens]
-        tokens, _ = beam_search(
-            self.model, variables, jnp.asarray(videos),
-            beam_width=beam_width, max_len=self.cfg.max_caption_len,
-        )
-        return [decode_tokens(row, self.vocab) for row in np.asarray(tokens)]
+        if not hasattr(videos, "epoch"):
+            return self._decode_batch(variables, np.asarray(videos), beam_width)
+        hyps: List[List[str]] = []
+        for xb, _, mask in videos.epoch():
+            rows = self._decode_batch(variables, xb, beam_width)
+            hyps.extend(rows[: int(np.sum(mask))])
+        return hyps
 
     def evaluate_bleu(
         self,
         state: CaptionState,
-        videos: np.ndarray,
-        references: List[List[List[str]]],
+        videos,
+        references: Optional[List[List[List[str]]]] = None,
         beam_width: Optional[int] = None,
         log: bool = True,
     ) -> float:
+        if references is None:
+            references = getattr(videos, "references", None)
+            if references is None:
+                raise TypeError(
+                    "references required unless the loader carries them"
+                )
         start = time.time()
         hyps = self.caption_videos(state, videos, beam_width)
         avg = corpus_average_bleu(list(zip(references, hyps)))

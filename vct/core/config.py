@@ -275,6 +275,10 @@ class CaptionConfig:
     epochs: int = 10
     grad_clip: float = 5.0
     checkpoint_dir: str = "/tmp/vct_caption"
+    # Engine-discipline knobs (mirror TrainConfig): per-step sync logging
+    # every N steps (0 = one device fetch per epoch), per-run history JSON.
+    log_every: int = 0
+    history_path: str = ""
 
 
 @_frozen()

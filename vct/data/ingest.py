@@ -189,24 +189,43 @@ def _check_cache_compatible(cfg: Config) -> None:
     d = cfg.data
     want = (d.sequence_length, d.img_height, d.img_width)
     multilabel = cfg.model.classif_mode == "multiple_binary"
+    got_classes = None  # one-hot label width, when the format exposes it
     if d.cache_format == "clipcache":
         from vct.data.loaders import _read_cc_header
 
         hd = _read_cc_header(d.data_file)
         got = (int(hd["t"]), int(hd["h"]), int(hd["w"]))
         got_multi = int(hd["label_kind"]) != 0
+        if got_multi:
+            got_classes = int(hd["label_dim"])
     else:
         import h5py
 
         with h5py.File(d.data_file, "r") as hf:
             got = tuple(int(s) for s in hf["videos"].shape[1:4])
             got_multi = hf["labels"].ndim > 1
-    if got != want or got_multi != multilabel:
+            if got_multi:
+                got_classes = int(hf["labels"].shape[1])
+    if os.path.exists(d.classes_file):
+        # A class-count mismatch (cache built from a different class set)
+        # would otherwise train against silently misaligned labels.
+        n_listed = len(np.load(d.classes_file, allow_pickle=True))
+        if got_classes is None:
+            got_classes = n_listed
+        elif n_listed != got_classes:
+            raise ValueError(
+                f"cache {d.data_file} has {got_classes}-wide labels but "
+                f"{d.classes_file} lists {n_listed} classes — stale pair."
+            )
+    if got != want or got_multi != multilabel or (
+        got_classes is not None and got_classes != cfg.model.num_classes
+    ):
         raise ValueError(
             f"cache {d.data_file} was built with (T,H,W)={got}, "
-            f"multilabel={got_multi}, but the config wants (T,H,W)={want}, "
-            f"multilabel={multilabel}. Delete the stale cache or point "
-            "data.data_file elsewhere."
+            f"multilabel={got_multi}, classes={got_classes}, but the config "
+            f"wants (T,H,W)={want}, multilabel={multilabel}, "
+            f"classes={cfg.model.num_classes}. Delete the stale cache or "
+            "point data.data_file elsewhere."
         )
 
 

@@ -96,6 +96,7 @@ class HDF5Loader:
         self.batch_size = batch_size
         self._hf = h5py.File(path, "r")
         self._videos = self._hf["videos"]
+        self.clip_shape = tuple(int(s) for s in self._videos.shape[1:])
         n_total = self._videos.shape[0]
         self.indices = (
             np.asarray(indices, np.int64)
@@ -163,6 +164,7 @@ class ClipCacheMapLoader:
         hd = _read_cc_header(path)
         n = int(hd["num_clips"])
         t, h, w, c = (int(hd[k]) for k in ("t", "h", "w", "c"))
+        self.clip_shape = (t, h, w, c)
         label_kind, label_dim = int(hd["label_kind"]), int(hd["label_dim"])
         lb = 8 if label_kind == 0 else 4 * label_dim
         cb = t * h * w * c

@@ -121,7 +121,13 @@ def _script_sampling(frames, sequence_length, diffs_high_is_selected):
     ``sorted(np.argsort(differences)[-T:])`` — the top-T transitions each
     contribute their EARLIER frame index; frame 0 appears only when
     transition 0 ranks, the last frame never does. SAD and optical-flow
-    sampling exist only in those scripts, so this is their parity shape."""
+    sampling exist only in those scripts, so this is their parity shape.
+
+    Tie-order divergence: the scripts use numpy's default (unstable)
+    argsort, so tied transition scores (plausible on uint8 SAD of
+    near-static clips) can select different frames there run-to-run;
+    ``kind="stable"`` here is deterministic — a deliberate improvement,
+    not a parity bug."""
     order = np.argsort(diffs_high_is_selected, kind="stable")
     selected = sorted(int(i) for i in order[-sequence_length:])
     return [frames[i] for i in selected]

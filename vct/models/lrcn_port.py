@@ -27,6 +27,7 @@ entry point for it.
 
 from __future__ import annotations
 
+import collections.abc
 from typing import Dict
 
 import numpy as np
@@ -49,11 +50,14 @@ def _ln(sd, prefix):
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
 
-class _ConsumeTracker:
+class _ConsumeTracker(collections.abc.Mapping):
     """Mapping view over a state_dict that records EXACTLY which keys are
     read, so the consume-everything check flags any tensor no porter touched
     (a prefix-based check would silently pass e.g. ``rnn.*_reverse`` weights
-    when porting a bidirectional checkpoint with bidirectional=False)."""
+    when porting a bidirectional checkpoint with bidirectional=False).
+
+    Derives from ``Mapping`` so every dict-style access (``get``/``items``/
+    ``values`` included) routes through the tracking ``__getitem__``."""
 
     def __init__(self, data: Dict[str, np.ndarray], consumed=None, prefix=""):
         self.data = data
@@ -64,11 +68,11 @@ class _ConsumeTracker:
         self.consumed.add(self.prefix + key)
         return self.data[key]
 
-    def __contains__(self, key):
-        return key in self.data
+    def __iter__(self):
+        return iter(self.data)
 
-    def keys(self):
-        return self.data.keys()
+    def __len__(self):
+        return len(self.data)
 
     def consume_region(self, prefix: str) -> Dict[str, np.ndarray]:
         """Mark every key under ``prefix.`` consumed and return the raw

@@ -30,6 +30,12 @@ def initialize(
     CPU test rigs pass them explicitly."""
     import jax
 
+    if jax.config.jax_platforms == "cpu":
+        # Cross-process collectives on the CPU backend need an explicit
+        # implementation; Gloo over TCP is the one jaxlib ships.
+        if jax.config.jax_cpu_collectives_implementation in (None, "none"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address

@@ -49,7 +49,12 @@ def load_model(model_dir: str):
     return model, variables, class_names, cfg
 
 
-_infer_cache = {}
+import weakref
+
+# WeakValue on the compiled fn would drop it immediately; weak-KEYING on the
+# model lets a caller that cycles models (many sweep trials in one process)
+# release each model's compiled step instead of leaking one per model.
+_infer_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _jitted_infer(model):

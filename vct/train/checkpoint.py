@@ -36,20 +36,34 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _is_primary() -> bool:
+    """The one process that mutates the checkpoint filesystem."""
+    return jax.process_count() == 1 or jax.process_index() == 0
+
+
 def _atomic_tree_save(final_path: str, tree) -> None:
     """Save an Orbax tree next to ``final_path`` then swap it in, so a crash
     mid-save (the exact scenario crash-tolerant training exists for) leaves
-    the previous complete checkpoint in place, never a partial one."""
+    the previous complete checkpoint in place, never a partial one.
+
+    Multi-process: Orbax ``save`` is a COLLECTIVE (it runs its own
+    ``sync_global_processes`` barriers), so EVERY rank must call this with
+    the same path; only the primary performs the host-fs cleanup/renames.
+    """
     import shutil
 
     tmp_path = final_path + ".tmp"
     old_path = final_path + ".old"
-    for stale in (tmp_path, old_path):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    primary = _is_primary()
+    if primary:
+        for stale in (tmp_path, old_path):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
     ckpt = _checkpointer()
     ckpt.save(tmp_path, tree)
     ckpt.wait_until_finished()
+    if not primary:
+        return
     if os.path.exists(final_path):
         os.rename(final_path, old_path)
     os.rename(tmp_path, final_path)
@@ -58,6 +72,8 @@ def _atomic_tree_save(final_path: str, tree) -> None:
 
 
 def _atomic_json_write(path: str, obj) -> None:
+    if not _is_primary():
+        return
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=2)

@@ -662,8 +662,17 @@ class Trainer:
                 else np.zeros((self.num_classes, self.num_classes))
             )
             if auc_probs:
-                fetched = np.asarray(jnp.stack([p for p, _ in auc_probs]))
-                auc_probs = [row[:k] for row, (_, k) in zip(fetched, auc_probs)]
+                # concatenate, not stack: _pad_batch pads oversized loader
+                # batches to their OWN mesh multiple, so padded batch shapes
+                # can differ within an epoch — still one device->host fetch.
+                fetched = np.asarray(
+                    jnp.concatenate([p for p, _ in auc_probs], axis=0)
+                )
+                rows, offset = [], 0
+                for p, k in auc_probs:
+                    rows.append(fetched[offset : offset + k])
+                    offset += p.shape[0]
+                auc_probs = rows
             metrics = multiclass_metrics(confusion, self.class_names)
             if auc_probs:
                 from vct.train.metrics import macro_auc

@@ -63,9 +63,11 @@ def stream_train_eval(cfg: Config) -> Tuple[object, RunMetrics]:
             )
             print("class weights:", weights)
         trainer = Trainer(cfg, class_names, class_weights=weights)
-        sample_x, _, _ = next(iter(train_loader.epoch()))
-        if sample_x.dtype == np.uint8:
-            sample_x = sample_x.astype(np.float32) / 255.0
+        # Sample shape comes from the cache header, NOT from peeking the
+        # epoch generator: abandoning a generator is harmless for the mmap/
+        # h5 loaders but would leak a prefetch epoch if a threaded loader
+        # ever landed here.
+        sample_x = np.zeros((1,) + train_loader.clip_shape, np.float32)
         state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), sample_x)
         val = test_loader if (
             cfg.train.lr_plateau_factor or cfg.train.early_stop_patience
