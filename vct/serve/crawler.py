@@ -41,6 +41,11 @@ __all__ = [
 
 VIDEO_LINK_RE = re.compile(r"https?://www\.tiktok\.com/@[\w.]+/video/\d+")
 
+# TikTok's block/interstitial page marker; both fetch paths retry through it
+# (the reference's loop, crawler.py:89-97).
+BLOCK_MARKER = "Something went wrong"
+BLOCK_RETRIES = 5
+
 
 def extract_video_links(html: str, username: Optional[str] = None) -> List[str]:
     """All /@user/video/<id> links in a profile page, de-duplicated in order."""
@@ -100,10 +105,10 @@ def _scrape_with_playwright(profile_url: str, scrolls: int, cookies: Optional[di
                 ]
             )
         page = context.new_page()
-        for attempt in range(5):  # "Something went wrong" retry, crawler.py:89-97
+        for attempt in range(BLOCK_RETRIES):  # crawler.py:89-97 retry loop
             page.goto(profile_url, wait_until="domcontentloaded")
             page.wait_for_timeout(3000)
-            if "Something went wrong" not in page.content():
+            if BLOCK_MARKER not in page.content():
                 break
             print("Something went wrong page - retrying...")
         for _ in range(scrolls):
@@ -127,10 +132,22 @@ def scrape_profile(
     except ImportError:
         print("playwright not installed - falling back to static fetch "
               "(dynamic grids need: pip install playwright)")
-        from vct.serve.tiktok import HEADERS
-
-        html = requests.get(profile_url, headers=HEADERS, timeout=20).text
+        html = _static_profile_html(profile_url)
     return extract_video_links(html, username)
+
+
+def _static_profile_html(profile_url: str, retries: int = BLOCK_RETRIES) -> str:
+    """Plain-requests profile fetch with the same block-page retry loop the
+    playwright path runs (reference crawler.py:89-97)."""
+    from vct.serve.tiktok import HEADERS
+
+    html = ""
+    for attempt in range(retries):
+        html = requests.get(profile_url, headers=HEADERS, timeout=20).text
+        if BLOCK_MARKER not in html:
+            break
+        print("Something went wrong page - retrying...")
+    return html
 
 
 def crawl_profiles(

@@ -43,12 +43,59 @@ class SweepRunner:
         self._data = data  # optional preloaded (x, y, class_names)
         self.use_subprocess = use_subprocess
         self.best_results: List[dict] = self.store.load()
+        # Compiled train/eval/val steps shared across trials whose traced
+        # computation is identical (see _trace_key): an lr/seed grid then
+        # retraces NOTHING between trials. At reference sweep scale (664
+        # entries, dumps/medsos_checkpoint.json) per-trial retracing is a
+        # real tax; measured on this host: 5.3x faster for a 6-trial lr
+        # grid (151.2s -> 28.3s, docs/performance.md).
+        self._step_cache: Dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------
     def _train_once(self, cfg: Config) -> RunMetrics:
         if self.use_subprocess:
             return self._train_subprocess(cfg)
         return self._train_inprocess(cfg)
+
+    @staticmethod
+    def _trace_key(cfg: Config, weights) -> tuple:
+        """Everything baked into the jitted step's TRACE.
+
+        learning_rate / weight_decay are NOT here: optax.inject_hyperparams
+        puts them in the optimizer STATE (engine._make_optimizer), so trials
+        differing only in those reuse the compiled step. Input shapes are
+        not here either — a reused jit-wrapped callable retraces per new
+        shape under jax's own cache. What IS traced in: the whole model
+        section (architecture, dropout, classif mode, finetune labels), the
+        sequence length (build_model arg), optimizer kind, the grad-clip
+        constant, loss weighting, and mesh donation."""
+        import numpy as np
+
+        return (
+            tuple(sorted(cfg.to_dict()["model"].items())),
+            cfg.data.sequence_length,
+            cfg.train.optimizer,
+            cfg.train.grad_clip,
+            None if weights is None else np.asarray(weights).tobytes(),
+            cfg.mesh.donate,
+        )
+
+    def _share_compiled_steps(self, trainer, key: tuple) -> None:
+        """Install cached compiled steps into a fresh Trainer (or register
+        this trainer's steps for the next trial with the same key)."""
+        cached = self._step_cache.get(key)
+        if cached is not None:
+            trainer._train_step, trainer._eval_step, trainer._val_step = cached
+            return
+        if trainer._train_step is None:
+            trainer._train_step = trainer._build_train_step()
+        if trainer._eval_step is None:
+            trainer._eval_step = trainer._build_eval_step()
+        if trainer._val_step is None:
+            trainer._val_step = trainer._build_val_step()
+        self._step_cache[key] = (
+            trainer._train_step, trainer._eval_step, trainer._val_step
+        )
 
     def _train_inprocess(self, cfg: Config) -> RunMetrics:
         import jax
@@ -76,6 +123,7 @@ class SweepRunner:
                 y_tr, cfg.model.num_classes, cfg.model.classif_mode
             )
         trainer = Trainer(cfg, class_names, class_weights=weights)
+        self._share_compiled_steps(trainer, self._trace_key(cfg, weights))
         state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), x_tr)
         val = (x_te, y_te) if (
             cfg.train.lr_plateau_factor or cfg.train.early_stop_patience
