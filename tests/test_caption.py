@@ -129,6 +129,7 @@ def test_model_forward_shapes(tiny_setup):
     )
 
 
+@pytest.mark.slow
 def test_teacher_forced_training_reduces_loss(tiny_setup, tmp_path):
     trainer, _, videos, captions, _ = tiny_setup
     # fresh state: fit() donates its input state buffers

@@ -169,6 +169,7 @@ def test_caption_training_out_of_core_rss(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_caption_resume_matches_uninterrupted(tmp_path):
     """Crash-resumed caption training reproduces the uninterrupted run's
     losses exactly: same permutations (shuffle fast-forward), same dropout
@@ -204,6 +205,7 @@ def test_caption_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(losses_res, losses_ref, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_streaming_bleu_eval(tmp_path, capsys):
     """BLEU eval consumes the lazy loader directly (references ride along),
     decoding per fixed-shape batch — captioning is out-of-core end to end."""

@@ -54,6 +54,7 @@ def test_greedy_caption(tformer):
     assert np.all(np.asarray(tokens)[:, 0] == 1)  # starts with <start>
 
 
+@pytest.mark.slow
 def test_transformer_trains():
     v = Vocabulary()
     v.build_vocabulary(["a man is cooking"])

@@ -29,6 +29,7 @@ def _train_args(tmp_path, extra=()):
     ]
 
 
+@pytest.mark.slow
 def test_train_cli_prints_scrapeable_metrics(tmp_path, capsys):
     from vct.train.__main__ import main
 
@@ -39,6 +40,7 @@ def test_train_cli_prints_scrapeable_metrics(tmp_path, capsys):
     assert "Epoch 1/1" in out
 
 
+@pytest.mark.slow
 def test_train_cli_val_monitor(tmp_path, capsys):
     from vct.train.__main__ import main
 
@@ -50,6 +52,7 @@ def test_train_cli_val_monitor(tmp_path, capsys):
     assert "Validation Loss:" in out
 
 
+@pytest.mark.slow
 def test_sweep_cli_grid(tmp_path, capsys):
     from vct.sweep.__main__ import main
 
@@ -66,6 +69,7 @@ def test_sweep_cli_grid(tmp_path, capsys):
     assert "Applying config" in out
 
 
+@pytest.mark.slow
 def test_caption_cli_synthetic(tmp_path, capsys):
     from vct.caption.__main__ import main
 

@@ -158,6 +158,7 @@ def test_ensure_cache_rejects_stale_geometry(tmp_path):
         ensure_cache(multilabel)
 
 
+@pytest.mark.slow
 def test_fit_stream_trains(tmp_path):
     """Streaming uint8 training through the native loader + device preproc."""
     import jax

@@ -36,6 +36,7 @@ def _tiny_cfg(**over):
     return Config().replace(**base)
 
 
+@pytest.mark.slow
 def test_e2e_train_loss_decreases(capsys):
     cfg = _tiny_cfg()
     x, y, names = generate_dummy_data(
@@ -55,6 +56,7 @@ def test_e2e_train_loss_decreases(capsys):
     assert 0.0 <= m.accuracy <= 1.0
 
 
+@pytest.mark.slow
 def test_e2e_multiple_binary(capsys):
     cfg = _tiny_cfg(**{"model.classif_mode": "multiple_binary"})
     x, y, names = generate_dummy_data(
@@ -167,6 +169,7 @@ def test_frozen_backbone_unchanged_after_training():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from vct.train.checkpoint import load_checkpoint, save_checkpoint
 
@@ -193,6 +196,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert out.shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_dp_tp_mesh_training_step():
     """8 virtual devices: dp=4 x tp=2 sharded train step runs and matches the
     single-device loss."""
@@ -365,6 +369,7 @@ def test_scratch_model_batchnorm_trains():
     assert any(not np.allclose(a, b) for a, b in zip(after, before))
 
 
+@pytest.mark.slow
 def test_resume_after_early_stop_does_not_train_further(tmp_path):
     """A checkpointed run that early-stopped must stay stopped on re-invoke
     (training more epochs would diverge from the uninterrupted run)."""

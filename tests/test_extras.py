@@ -16,6 +16,7 @@ from vct.models.backbones import build_backbone
 from vct.train.engine import Trainer, _param_label_tree, count_parameters
 
 
+@pytest.mark.slow
 def test_efficientnet_b0_shapes():
     module, dim = build_backbone("efficientnet_b0")
     assert dim == 1280
@@ -24,6 +25,7 @@ def test_efficientnet_b0_shapes():
     assert module.apply(variables, x).shape == (1, 1280)
 
 
+@pytest.mark.slow
 def test_inception_v3_shapes_and_param_count():
     module, dim = build_backbone("inception_v3")
     assert dim == 2048

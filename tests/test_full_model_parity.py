@@ -15,6 +15,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # torch-golden matrix: full lane only
+
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 

@@ -49,6 +49,7 @@ def test_subprocess_sweep_scrapes_stdout(tmp_path):
     assert "Overall Accuracy:" in log  # child stdout captured to the log
 
 
+@pytest.mark.slow
 def test_warm_start_init_from(tmp_path):
     from vct.core.config import Config
     from vct.data.synthetic import generate_dummy_data
@@ -84,6 +85,7 @@ def test_warm_start_init_from(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_remat_backbone_identical_loss():
     """finetune + remat_backbone must change memory, not math."""
     from vct.core.config import Config
@@ -119,6 +121,7 @@ def test_process_shard_partitions():
     assert max(sizes) - min(sizes) <= 1
 
 
+@pytest.mark.slow
 def test_epoch_resume_after_crash(tmp_path):
     """Train 1 of 3 epochs, 'crash', resume: continues at epoch 2 with the
     optimizer state intact and matches an uninterrupted 3-epoch run."""
@@ -163,6 +166,7 @@ def test_epoch_resume_after_crash(tmp_path):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_contract():
     """The driver's multichip dry run compiles + executes on this mesh."""
     if len(jax.devices()) < 8:
@@ -173,6 +177,7 @@ def test_dryrun_multichip_contract():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions():
     """dryrun_multichip must pass in the DEFAULT machine env (no cpu mesh
     pre-provisioned): it re-execs itself onto a scrubbed virtual-CPU child.
@@ -240,6 +245,7 @@ def test_device_sampling_loader(tmp_path):
     assert float(clips.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_seq_shard_parity():
     """dp+tp+sp sharded step equals the unsharded loss (4x2 mesh)."""
     if len(jax.devices()) < 8:

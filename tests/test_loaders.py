@@ -138,6 +138,7 @@ def _base_cfg(tmp_path, epochs=2):
     })
 
 
+@pytest.mark.slow
 def test_fit_loader_equals_fit_arrays(tmp_path):
     """Same data via HDF5 stream and in-RAM arrays -> identical losses."""
     x, y = _rand_dataset(n=12)
@@ -161,6 +162,7 @@ def test_fit_loader_equals_fit_arrays(tmp_path):
     assert m1.f1 == pytest.approx(m2.f1)
 
 
+@pytest.mark.slow
 def test_stream_resume_after_crash(tmp_path):
     """Epoch resume is bit-consistent on the streaming path too."""
     x, y = _rand_dataset(n=12)

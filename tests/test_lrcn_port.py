@@ -170,6 +170,7 @@ def test_port_rejects_undescribed_weights():
         port_reference_lrcn(variables, sd, cfg.model)
 
 
+@pytest.mark.slow
 def test_port_reference_cli_roundtrip(tmp_path):
     """state_dict .pth -> CLI -> vct checkpoint -> serving load -> same logits."""
     torch.manual_seed(0)

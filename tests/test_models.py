@@ -71,6 +71,7 @@ def test_scratch_models():
         assert model.apply(variables, _x()).shape == (B, 5)
 
 
+@pytest.mark.slow
 def test_backbone_feature_dims():
     # True output dims of each backbone (see vgg.py module doc for the
     # reference's VGG/AlexNet size-probe bug we intentionally fix).
@@ -105,6 +106,7 @@ def test_vgg_alexnet_forward_dims():
         assert module.apply(variables, x).shape == (1, dim), name
 
 
+@pytest.mark.slow
 def test_backbone_frozen_no_grad():
     cfg = ModelConfig(num_classes=4, cnn_backbone="resnet18", rnn_type="lstm",
                       rnn_input_size=8, rnn_layer=1)

@@ -40,6 +40,7 @@ def test_selective_scan_pallas_matches_associative(reverse):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_selective_scan_pallas_grad():
     args = _ssm_inputs(B=1, L=6, D=4, N=3)
 
@@ -109,6 +110,7 @@ def test_lstm_module_pallas_impl_matches_torch_layout():
     (lstm_stack_pallas, _lstm_stack_ref, 4),
     (gru_stack_pallas, _gru_stack_ref, 3),
 ])
+@pytest.mark.slow
 def test_rnn_stack_pallas_matches_ref(op, ref, gates):
     B, T, H, L = 2, 9, 6, 3
     rng = np.random.RandomState(0)
@@ -129,6 +131,7 @@ def test_rnn_stack_pallas_matches_ref(op, ref, gates):
 
 
 @pytest.mark.parametrize("cls_name", ["LSTM", "GRU"])
+@pytest.mark.slow
 def test_rnn_module_fused_stack_matches_scan(cls_name):
     """Unidirectional multi-layer scan_impl=pallas takes the single-launch
     fused-stack kernel; same params (identical names/shapes) -> same output."""

@@ -423,6 +423,7 @@ class TestCheckpointAtomicity:
         np.testing.assert_array_equal(loaded["params"]["w"], np.full(3, 2.0))
 
 
+@pytest.mark.slow
 def test_classify_videos_mesh_sharded():
     """Mesh-sharded batch inference equals the single-device result."""
     import jax

@@ -60,6 +60,7 @@ def test_selective_scan_matches_numpy(impl, reverse):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_associative_equals_sequential_long():
     u, delta, A, B, C = _rand_inputs(B=1, L=257, D=4, N=3, seed=3)
     a = selective_scan(*map(jnp.asarray, (u, delta, A, B, C)), impl="associative")

@@ -230,6 +230,7 @@ def test_sweep_streaming_trials(tmp_path):
     assert f1 >= 0.0  # trained + evaluated without materializing the cache
 
 
+@pytest.mark.slow
 def test_sweep_reuses_compiled_steps(tmp_path, monkeypatch):
     """Trials that differ only in state-injected knobs (learning rate, seed)
     share ONE compiled train step; a trace-relevant change (model shape)
@@ -270,6 +271,7 @@ def test_sweep_reuses_compiled_steps(tmp_path, monkeypatch):
     assert builds["train"] == 2  # architecture change rebuilds
 
 
+@pytest.mark.slow
 def test_shared_compiled_step_honors_trial_lr():
     """A step compiled under one Trainer applies ANOTHER trial's learning
     rate: lr lives in the optimizer state (inject_hyperparams), not in the

@@ -18,6 +18,8 @@ from vct.models.backbones.port import (
 )
 from vct.models.backbones.resnet import resnet18, resnet50
 
+_SLOW = pytest.mark.slow  # heavy torch builds stay out of the fast lane
+
 
 def _torchvision_resnet18_keys():
     """The torchvision resnet18 state_dict layout, written out independently
@@ -114,6 +116,7 @@ def test_port_extra_key_raises():
         load_torch_resnet(variables, sd)
 
 
+@pytest.mark.slow
 def test_port_wrong_shape_raises():
     model = resnet50()
     variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))
@@ -349,6 +352,7 @@ _FAMILY_CASES = [
 
 @pytest.mark.parametrize("name,keygen,size,feat", _FAMILY_CASES,
                          ids=[c[0] for c in _FAMILY_CASES])
+@pytest.mark.slow
 def test_port_family_full(name, keygen, size, feat):
     from vct.models.backbones import BACKBONES
 
@@ -365,6 +369,7 @@ def test_port_family_full(name, keygen, size, feat):
     assert not np.allclose(np.asarray(out_ported), np.asarray(out_random))
 
 
+@pytest.mark.slow
 def test_port_family_spot_checks():
     """Transpose + BN-stat placement spot checks on non-resnet families."""
     from vct.models.backbones import BACKBONES
@@ -410,8 +415,8 @@ def test_port_family_spot_checks():
 
 @pytest.mark.parametrize("name,keygen", [
     ("mobilenet_v2", _mobilenet_v2_keys),
-    ("densenet121", _densenet121_keys),
-    ("efficientnet_b0", _efficientnet_b0_keys),
+    pytest.param("densenet121", _densenet121_keys, marks=_SLOW),
+    pytest.param("efficientnet_b0", _efficientnet_b0_keys, marks=_SLOW),
 ])
 def test_port_family_missing_key_raises(name, keygen):
     from vct.models.backbones import BACKBONES
@@ -444,6 +449,7 @@ def test_port_unknown_backbone_raises():
         load_torch_backbone("resnext50", {"params": {}}, {})
 
 
+@pytest.mark.slow
 def test_port_backbone_into_full_model():
     """Port into the LRCN's cnn_backbone submodule; head params untouched."""
     from vct.core.config import Config
@@ -475,9 +481,11 @@ def test_port_backbone_into_full_model():
 
 
 @pytest.mark.parametrize("name,size", [
-    ("resnet18", 64), ("mobilenet_v2", 64), ("densenet121", 64),
-    ("vgg16", 64), ("alexnet", 64), ("efficientnet_b0", 64),
-    ("inception_v3", 96),
+    ("resnet18", 64), ("vgg16", 64), ("alexnet", 64),
+    pytest.param("mobilenet_v2", 64, marks=_SLOW),
+    pytest.param("densenet121", 64, marks=_SLOW),
+    pytest.param("efficientnet_b0", 64, marks=_SLOW),
+    pytest.param("inception_v3", 96, marks=_SLOW),
 ])
 def test_fold_input_scale_into_stem(name, size):
     """conv(x/255) == conv_with_folded_kernel(x) for every family."""
