@@ -1,0 +1,127 @@
+"""AOT servable artifacts (vct/serve/aot.py): export -> load -> classify.
+
+The TPU-native analogue of the reference's whole-model serving file
+(``torch.load`` in ``medsos_lrcn/src/deployment.py:63``): weights baked as
+StableHLO constants, one executable per batch bucket, label manifest inside.
+"""
+
+import json
+import zipfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vct.core.config import Config
+from vct.models import build_model
+from vct.serve.aot import AotServable, export_servable
+
+SHAPE = (3, 24, 24, 3)  # (T, H, W, C)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Config().replace(**{
+        "model.cnn_backbone": "resnet18",
+        "model.rnn_type": "gru",
+        "model.rnn_input_size": "8",
+        "model.rnn_layer": "1",
+        "model.num_classes": "4",
+        "data.sequence_length": str(SHAPE[0]),
+        "data.img_height": str(SHAPE[1]),
+        "data.img_width": str(SHAPE[2]),
+    })
+    model = build_model(cfg.model, cfg.data.sequence_length)
+    x0 = jnp.zeros((1,) + SHAPE, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    return cfg, model, variables
+
+
+def test_export_load_roundtrip_matches_direct_forward(tiny, tmp_path):
+    cfg, model, variables = tiny
+    path = str(tmp_path / "m.vctaot")
+    export_servable(model, variables, ["a", "b", "c", "d"], SHAPE, path,
+                    batch_sizes=(2, 4))
+    sv = AotServable.load(path)
+    assert sv.class_names == ["a", "b", "c", "d"]
+    assert sv.input_shape == SHAPE
+
+    clips = np.random.RandomState(0).rand(4, *SHAPE).astype(np.float32)
+    got = sv.classify(clips)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, jnp.asarray(clips)), axis=-1)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(got.sum(axis=-1), 1.0, atol=1e-5)
+
+
+def test_classify_pads_to_buckets(tiny, tmp_path):
+    """N=5 with buckets (2, 4): a full chunk of 4 streams through the big
+    executable, the tail of 1 pads up to the SMALLEST fitting bucket."""
+    cfg, model, variables = tiny
+    path = str(tmp_path / "m.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, path,
+                    batch_sizes=(4, 2))
+    sv = AotServable.load(path)
+    clips = np.random.RandomState(1).rand(5, *SHAPE).astype(np.float32)
+    got = sv.classify(clips)
+    assert got.shape == (5, 4)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, jnp.asarray(clips)), axis=-1)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # empty input short-circuits
+    assert sv.classify(np.zeros((0,) + SHAPE, np.float32)).shape == (0, 4)
+
+
+def test_wrong_clip_geometry_raises(tiny, tmp_path):
+    cfg, model, variables = tiny
+    path = str(tmp_path / "m.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, path,
+                    batch_sizes=(1,))
+    sv = AotServable.load(path)
+    with pytest.raises(ValueError, match="expected"):
+        sv.classify(np.zeros((1, 5, 24, 24, 3), np.float32))
+
+
+def test_not_an_artifact_raises(tmp_path):
+    path = str(tmp_path / "bogus.vctaot")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("manifest.json", json.dumps({"format": "other"}))
+    with pytest.raises(ValueError, match="vct-aot"):
+        AotServable.load(path)
+
+
+@pytest.mark.slow
+def test_cli_export_from_checkpoint_and_deployment_serve(tiny, tmp_path):
+    """End to end: save a checkpoint -> `python -m vct.serve.aot` export ->
+    deployment.main serves from the artifact file (no model zoo in path)."""
+    cv2 = pytest.importorskip("cv2")
+    cfg, model, variables = tiny
+    from vct.serve import aot, deployment
+    from vct.train.checkpoint import save_checkpoint
+
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(
+        ckpt,
+        {"params": jax.device_get(variables["params"]),
+         **{k: jax.device_get(v) for k, v in variables.items()
+            if k != "params"}},
+        cfg, ["a", "b", "c", "d"],
+    )
+    art = str(tmp_path / "m.vctaot")
+    assert aot.main(["--model", ckpt, "--out", art, "--batches", "1,2"]) == 0
+
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    rng = np.random.RandomState(0)
+    for name in ("@user_video_1.mp4", "@user_video_2.mp4"):
+        w = cv2.VideoWriter(str(vids / name),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (24, 24))
+        for _ in range(6):
+            w.write(rng.randint(0, 256, (24, 24, 3), np.uint8))
+        w.release()
+    rc = deployment.main(["--model", art, "--videos", str(vids)])
+    assert rc == 0

@@ -196,7 +196,7 @@ def test_dryrun_multichip_self_provisions():
     p = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=600,
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1200,
     )
     assert p.returncode == 0, p.stderr[-2000:]
     assert "dryrun_multichip ok" in p.stdout
@@ -219,7 +219,7 @@ def test_dryrun_multihost_two_ranks():
     p = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multihost(2, 4)"],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1800,
     )
     assert p.returncode == 0, p.stderr[-2000:]
     assert "dryrun_multihost ok" in p.stdout

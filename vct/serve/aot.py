@@ -1,0 +1,204 @@
+"""AOT-exported servable artifacts (jax.export).
+
+The reference serves from a whole serialized module — ``torch.load(path)``
+in ``medsos_lrcn/src/deployment.py:63`` deserializes model code + weights in
+one file. vct's checkpoints are rebuild-from-manifest (safer, but the serving
+path still needs the Python model zoo + config + Orbax restore). This module
+adds the TPU-native analogue of the whole-model file: the jitted softmax
+forward with the **weights baked in as constants**, serialized as StableHLO
+via ``jax.export`` — one executable per batch bucket, plus a JSON manifest.
+
+A server that loads the artifact classifies with zero model-zoo code, zero
+config plumbing, and zero checkpoint restore in the path; the StableHLO
+compile of the deserialized function hits the persistent XLA compile cache
+across process restarts, so warm cold-starts skip straight to execution.
+
+Artifacts are **per-platform** (the StableHLO is lowered for the platform
+that exported it — cpu artifacts serve on cpu, tpu artifacts on tpu), and
+``jax.export`` guarantees backward compatibility for serialized artifacts.
+
+Usage::
+
+    # build (once, after training)
+    python -m vct.serve.aot --model /ckpt/run1 --out run1.vctaot --batches 1,32
+
+    # serve
+    sv = AotServable.load("run1.vctaot")
+    probs = sv.classify(clips)          # (N, T, H, W, 3) float32 in [0, 1]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["export_servable", "export_from_checkpoint", "AotServable", "main"]
+
+_MANIFEST = "manifest.json"
+_FORMAT = "vct-aot-v1"
+
+
+def export_servable(
+    model,
+    variables,
+    class_names: Sequence[str],
+    input_shape: Tuple[int, int, int, int],
+    path: str,
+    batch_sizes: Sequence[int] = (1, 32),
+) -> None:
+    """Serialize ``softmax(model.apply(variables, x))`` for each batch bucket.
+
+    ``input_shape`` is the per-clip (T, H, W, C) geometry; ``variables`` are
+    closed over, so they lower to constants inside the artifact (the
+    whole-model property of the reference's ``torch.save``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jex
+
+    def forward(x):
+        return jax.nn.softmax(model.apply(variables, x), axis=-1)
+
+    blobs = {}
+    for b in sorted(set(int(b) for b in batch_sizes)):
+        if b <= 0:
+            raise ValueError(f"batch sizes must be positive, got {b}")
+        spec = jax.ShapeDtypeStruct((b,) + tuple(input_shape), jnp.float32)
+        exported = jex.export(jax.jit(forward))(spec)
+        blobs[b] = exported.serialize()
+
+    manifest = {
+        "format": _FORMAT,
+        "class_names": list(class_names),
+        "input_shape": list(input_shape),
+        "batch_sizes": sorted(blobs),
+        "platform": jex.default_export_platform(),
+        "jax_version": jax.__version__,
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_MANIFEST, json.dumps(manifest, indent=2))
+        for b, blob in blobs.items():
+            zf.writestr(f"batch_{b}.stablehlo", blob)
+
+
+def export_from_checkpoint(
+    model_dir: str, path: str, batch_sizes: Sequence[int] = (1, 32)
+) -> None:
+    """Build an artifact straight from an Orbax checkpoint directory."""
+    from vct.serve.deployment import load_model
+
+    model, variables, class_names, cfg = load_model(model_dir)
+    export_servable(
+        model,
+        variables,
+        class_names,
+        (
+            cfg.data.sequence_length,
+            cfg.data.img_height,
+            cfg.data.img_width,
+            3,
+        ),
+        path,
+        batch_sizes=batch_sizes,
+    )
+
+
+class AotServable:
+    """A loaded artifact: per-bucket compiled forwards + the label manifest."""
+
+    def __init__(self, manifest: dict, fns: dict):
+        self.class_names: List[str] = list(manifest["class_names"])
+        self.input_shape = tuple(manifest["input_shape"])
+        self.platform: str = manifest["platform"]
+        self._fns = fns  # batch size -> Exported
+        self._buckets = sorted(fns)
+
+    @classmethod
+    def load(cls, path: str) -> "AotServable":
+        from jax import export as jex
+
+        with zipfile.ZipFile(path) as zf:
+            manifest = json.loads(zf.read(_MANIFEST))
+            if manifest.get("format") != _FORMAT:
+                raise ValueError(
+                    f"{path}: not a {_FORMAT} artifact "
+                    f"(format={manifest.get('format')!r})"
+                )
+            fns = {
+                b: jex.deserialize(bytearray(zf.read(f"batch_{b}.stablehlo")))
+                for b in manifest["batch_sizes"]
+            }
+        return cls(manifest, fns)
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if b >= n:
+                return b
+        return self._buckets[-1]
+
+    def classify(self, clips: np.ndarray) -> np.ndarray:
+        """Softmax probabilities for (N, T, H, W, 3) clips.
+
+        Chunks of the largest bucket stream through its executable; the tail
+        pads up to the smallest bucket that fits (same shape discipline as
+        ``deployment.classify_videos``)."""
+        import jax.numpy as jnp
+
+        clips = np.asarray(clips, np.float32)
+        if clips.ndim != 5 or clips.shape[1:] != self.input_shape:
+            raise ValueError(
+                f"expected (N,) + {self.input_shape}, got {clips.shape}"
+            )
+        out = []
+        big = self._buckets[-1]
+        n = len(clips)
+        start = 0
+        while start < n:
+            chunk = clips[start : start + big]
+            m = len(chunk)
+            b = self._bucket_for(m)
+            if m < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - m,) + chunk.shape[1:], chunk.dtype)]
+                )
+            out.append(np.asarray(self._fns[b].call(jnp.asarray(chunk)))[:m])
+            start += m
+        return (
+            np.concatenate(out)
+            if out
+            else np.zeros((0, len(self.class_names)), np.float32)
+        )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Export an AOT servable artifact from a checkpoint"
+    )
+    parser.add_argument("--model", required=True, help="checkpoint directory")
+    parser.add_argument("--out", required=True, help="artifact output path")
+    parser.add_argument(
+        "--batches",
+        default="1,32",
+        help="comma-separated batch buckets to compile (default 1,32)",
+    )
+    args = parser.parse_args(argv)
+    batch_sizes = [int(b) for b in args.batches.split(",") if b.strip()]
+    export_from_checkpoint(args.model, args.out, batch_sizes=batch_sizes)
+    sv = AotServable.load(args.out)
+    print(
+        f"exported {args.out}: platform={sv.platform} "
+        f"buckets={sorted(sv._fns)} classes={sv.class_names}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -111,14 +111,18 @@ def classify_videos(model, variables, clips: np.ndarray, batch_size: int = 32,
 
 def classify_and_display(
     model, variables, clips, video_names: List[str], class_names: List[str],
-    mesh=None, batch_size: int = 32,
+    mesh=None, batch_size: int = 32, probs: Optional[np.ndarray] = None,
 ) -> List[dict]:
-    """Reference output contract (deployment.py:61-101)."""
+    """Reference output contract (deployment.py:61-101).
+
+    ``probs`` short-circuits the forward for callers that already computed
+    probabilities (the AOT-artifact path, ``vct.serve.aot``)."""
     results = []
     label_counter = Counter()
-    probs = classify_videos(
-        model, variables, clips, batch_size=batch_size, mesh=mesh
-    )
+    if probs is None:
+        probs = classify_videos(
+            model, variables, clips, batch_size=batch_size, mesh=mesh
+        )
     for idx, name in enumerate(video_names):
         order = np.argsort(-probs[idx])
         sorted_labels = [class_names[i] for i in order]
@@ -266,7 +270,11 @@ def _load_with_device_sampling(
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Batch video classification")
-    parser.add_argument("--model", required=True, help="checkpoint directory")
+    parser.add_argument(
+        "--model", required=True,
+        help="checkpoint directory, or a .vctaot artifact file "
+             "(vct.serve.aot) to serve without the model zoo in the path",
+    )
     parser.add_argument("--videos", default=None, help="directory of videos")
     parser.add_argument(
         "--frames", default=None,
@@ -294,36 +302,54 @@ def main(argv=None) -> int:
 
     if not args.videos and not args.frames:
         parser.error("one of --videos or --frames is required")
-    model, variables, class_names, cfg = load_model(args.model)
-    sampling = args.sampling or cfg.data.sampling_method
-    seq_len = args.sequence_length or cfg.data.sequence_length
+    import os
+
+    servable = None
+    if os.path.isfile(args.model):
+        # A .vctaot artifact: weights + compiled forward in one file — no
+        # model zoo, config, or checkpoint restore in the serving path.
+        from vct.serve.aot import AotServable
+
+        servable = AotServable.load(args.model)
+        class_names = servable.class_names
+        model = variables = cfg = None
+        sampling = args.sampling or "uniform"
+        seq_len = args.sequence_length or servable.input_shape[0]
+        img_h, img_w = servable.input_shape[1], servable.input_shape[2]
+    else:
+        model, variables, class_names, cfg = load_model(args.model)
+        sampling = args.sampling or cfg.data.sampling_method
+        seq_len = args.sequence_length or cfg.data.sequence_length
+        img_h, img_w = cfg.data.img_height, cfg.data.img_width
     if args.frames:
         from vct.data.frames import preprocess_frames_dir
 
-        clip = preprocess_frames_dir(
-            args.frames, seq_len, cfg.data.img_height, cfg.data.img_width
+        clip = preprocess_frames_dir(args.frames, seq_len, img_h, img_w)
+        probs = (
+            servable.classify(clip)
+            if servable is not None
+            else classify_videos(model, variables, clip, batch_size=1)
         )
-        probs = classify_videos(model, variables, clip, batch_size=1)
         predicted = class_names[int(np.argmax(probs[0]))]
         print(f"Predicted class: {predicted}")
         return 0
     if args.device_sampling:
         clips, names = _load_with_device_sampling(
-            args.videos, sampling, seq_len, cfg.data.img_height, cfg.data.img_width
+            args.videos, sampling, seq_len, img_h, img_w
         )
     else:
         clips, names = load_dataset_inference(
             args.videos,
             sampling_method=sampling,
             sequence_length=seq_len,
-            img_height=cfg.data.img_height,
-            img_width=cfg.data.img_width,
+            img_height=img_h,
+            img_width=img_w,
         )
     if len(names) == 0:
         print("No videos found.")
         return 1
     mesh = None
-    if args.mesh:
+    if args.mesh and servable is None:
         import jax
 
         from vct.parallel.mesh import make_mesh
@@ -334,9 +360,16 @@ def main(argv=None) -> int:
     results = classify_and_display(
         model, variables, clips, names, class_names, mesh=mesh,
         batch_size=args.batch_size,
+        probs=servable.classify(clips) if servable is not None else None,
     )
     if args.post:
-        post_results(results, args.backend_url or cfg.serve.backend_url)
+        if cfg is not None:
+            backend_url = args.backend_url or cfg.serve.backend_url
+        else:
+            from vct.core.config import ServeConfig
+
+            backend_url = args.backend_url or ServeConfig().backend_url
+        post_results(results, backend_url)
     return 0
 
 
