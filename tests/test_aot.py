@@ -94,6 +94,72 @@ def test_not_an_artifact_raises(tmp_path):
         AotServable.load(path)
 
 
+def test_worker_serves_from_artifact(tiny, tmp_path, monkeypatch):
+    """MODEL_PATH pointing at a .vctaot file: the queue worker loads the
+    artifact (no model zoo / checkpoint restore), overrides SEQUENCE_LENGTH
+    to the artifact's compiled T, classifies via the servable, and deletes
+    videos whose result the backend confirmed."""
+    cfg, model, variables = tiny
+    art = str(tmp_path / "m.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, art,
+                    batch_sizes=(2,))
+
+    from vct.core.config import ServeConfig
+    from vct.serve import worker as worker_mod
+
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    names = ["@u_video_1.mp4", "@u_video_2.mp4"]
+    clips = np.random.RandomState(2).rand(2, *SHAPE).astype(np.float32)
+
+    import vct.data.ingest as ingest
+
+    seen_geometry = {}
+
+    def fake_load(video_dir, sampling_method, sequence_length, img_height,
+                  img_width, skip=None, **kw):
+        seen_geometry.update(T=sequence_length, h=img_height, w=img_width)
+        return clips, list(names)
+
+    monkeypatch.setattr(ingest, "load_dataset_inference", fake_load)
+    posted_results = []
+    monkeypatch.setattr(
+        worker_mod, "post_results",
+        lambda results, url: (
+            posted_results.extend(results),
+            {r["video_name"]: True for r in results},
+        )[1],
+    )
+    monkeypatch.setattr(
+        worker_mod.Worker, "_already_classified", lambda self: []
+    )
+
+    scfg = ServeConfig(model_path=art, video_dir=str(vids),
+                       sequence_length=999)  # wrong on purpose
+    downloaded = []
+    w = worker_mod.Worker(scfg, downloader=lambda url, d: (
+        downloaded.append(url),
+        [(vids / n).write_bytes(b"x") for n in names],
+    ))
+    assert w.servable is not None
+    assert w.class_names == list("abcd")
+    assert w.cfg.sequence_length == SHAPE[0]  # artifact T wins over env
+
+    w.callback("https://www.tiktok.com/@u/video/1")
+    assert downloaded == ["https://www.tiktok.com/@u/video/1"]
+    assert seen_geometry == {"T": SHAPE[0], "h": SHAPE[1], "w": SHAPE[2]}
+    assert len(posted_results) == 2
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, jnp.asarray(clips)), axis=-1)
+    )
+    got0 = posted_results[0]
+    order = np.argsort(-want[0])
+    assert got0["labels"] == [list("abcd")[i] for i in order]
+    np.testing.assert_allclose(got0["scores"], want[0][order], atol=1e-5)
+    # confirmed results -> videos deleted
+    assert sorted(p.name for p in vids.iterdir()) == []
+
+
 @pytest.mark.slow
 def test_cli_export_from_checkpoint_and_deployment_serve(tiny, tmp_path):
     """End to end: save a checkpoint -> `python -m vct.serve.aot` export ->

@@ -15,7 +15,8 @@ the reference, on purpose:
 
 Configuration via env vars keeps the reference's surface
 (``worker.py:24-28``): MODEL_PATH, SAMPLING_METHOD, SEQUENCE_LENGTH,
-VIDEO_DIR, plus BACKEND_URL and QUEUE_PORT.
+VIDEO_DIR, plus BACKEND_URL and QUEUE_PORT. MODEL_PATH may be either a
+checkpoint directory or a ``.vctaot`` AOT artifact file (``vct.serve.aot``).
 """
 
 from __future__ import annotations
@@ -35,9 +36,34 @@ class Worker:
         self.cfg = cfg
         self.downloader = downloader  # callable(url, save_dir) -> None
         print(f"Loading model from {cfg.model_path}")
-        self.model, self.variables, self.class_names, self.model_cfg = load_model(
-            cfg.model_path
-        )
+        self.servable = None
+        if os.path.isfile(cfg.model_path):
+            # MODEL_PATH points at a .vctaot artifact (vct.serve.aot):
+            # weights + compiled forward in one file — the worker serves it
+            # with no model zoo / config / checkpoint restore in the path,
+            # the true analogue of the reference worker's whole-model
+            # ``torch.load`` (worker.py:114) minus the per-message reload.
+            from vct.serve.aot import AotServable
+
+            self.servable = AotServable.load(cfg.model_path)
+            self.model = self.variables = self.model_cfg = None
+            self.class_names = self.servable.class_names
+            art_T = self.servable.input_shape[0]
+            if cfg.sequence_length != art_T:
+                print(
+                    f"SEQUENCE_LENGTH={cfg.sequence_length} overridden to "
+                    f"{art_T}: the artifact's executables are compiled for "
+                    f"T={art_T}"
+                )
+                import dataclasses
+
+                self.cfg = cfg = dataclasses.replace(
+                    cfg, sequence_length=art_T
+                )
+        else:
+            self.model, self.variables, self.class_names, self.model_cfg = (
+                load_model(cfg.model_path)
+            )
         self.pull = QueuePull(port=cfg.queue_port)
         self.mesh = None
         if os.environ.get("VCT_WORKER_MESH") == "1":
@@ -62,12 +88,17 @@ class Worker:
 
         from vct.data.ingest import load_dataset_inference
 
+        if self.servable is not None:
+            img_h, img_w = self.servable.input_shape[1:3]
+        else:
+            img_h = self.model_cfg.data.img_height
+            img_w = self.model_cfg.data.img_width
         clips, names = load_dataset_inference(
             self.cfg.video_dir,
             sampling_method=self.cfg.sampling_method,
             sequence_length=self.cfg.sequence_length,
-            img_height=self.model_cfg.data.img_height,
-            img_width=self.model_cfg.data.img_width,
+            img_height=img_h,
+            img_width=img_w,
             skip=self._already_classified(),
         )
         if len(names) == 0:
@@ -76,6 +107,8 @@ class Worker:
         results = classify_and_display(
             self.model, self.variables, clips, names, self.class_names,
             mesh=self.mesh,
+            probs=self.servable.classify(clips)
+            if self.servable is not None else None,
         )
         posted = post_results(results, self.cfg.backend_url)
         # Delete videos whose result the backend confirmed. Transient
