@@ -16,6 +16,9 @@ across process restarts, so warm cold-starts skip straight to execution.
 Artifacts are **per-platform** (the StableHLO is lowered for the platform
 that exported it — cpu artifacts serve on cpu, tpu artifacts on tpu), and
 ``jax.export`` guarantees backward compatibility for serialized artifacts.
+``data_parallel=N`` exports executables sharded batch-wise over an N-device
+mesh — one file that serves data-parallel across N chips over ICI (weights
+replicated, batch split; serving requires >= N visible devices).
 
 Usage::
 
@@ -42,6 +45,15 @@ _MANIFEST = "manifest.json"
 _FORMAT = "vct-aot-v1"
 
 
+def _batch_sharding(n_dev: int):
+    """Batch-axis NamedSharding over the first ``n_dev`` devices."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
 def export_servable(
     model,
     variables,
@@ -49,12 +61,18 @@ def export_servable(
     input_shape: Tuple[int, int, int, int],
     path: str,
     batch_sizes: Sequence[int] = (1, 32),
+    data_parallel: int = 1,
 ) -> None:
     """Serialize ``softmax(model.apply(variables, x))`` for each batch bucket.
 
     ``input_shape`` is the per-clip (T, H, W, C) geometry; ``variables`` are
     closed over, so they lower to constants inside the artifact (the
     whole-model property of the reference's ``torch.save``).
+
+    ``data_parallel=N`` exports every executable sharded batch-wise over an
+    N-device ``Mesh`` (weights replicated by propagation): ONE artifact file
+    that serves data-parallel across N chips over ICI. Loading then requires
+    exactly N devices, and every batch bucket must be a multiple of N.
     """
     import jax
     import jax.numpy as jnp
@@ -63,12 +81,31 @@ def export_servable(
     def forward(x):
         return jax.nn.softmax(model.apply(variables, x), axis=-1)
 
+    n_dev = int(data_parallel)
+    if n_dev < 1:
+        raise ValueError(f"data_parallel must be >= 1, got {n_dev}")
+    if n_dev > 1:
+        if len(jax.devices()) < n_dev:
+            raise ValueError(
+                f"data_parallel={n_dev} but only {len(jax.devices())} "
+                "devices are visible at export time"
+            )
+        sharding = _batch_sharding(n_dev)
+        fwd = jax.jit(forward, in_shardings=sharding,
+                      out_shardings=sharding)
+    else:
+        fwd = jax.jit(forward)
+
     blobs = {}
     for b in sorted(set(int(b) for b in batch_sizes)):
         if b <= 0:
             raise ValueError(f"batch sizes must be positive, got {b}")
+        if b % n_dev:
+            raise ValueError(
+                f"batch bucket {b} is not a multiple of data_parallel={n_dev}"
+            )
         spec = jax.ShapeDtypeStruct((b,) + tuple(input_shape), jnp.float32)
-        exported = jex.export(jax.jit(forward))(spec)
+        exported = jex.export(fwd)(spec)
         blobs[b] = exported.serialize()
 
     manifest = {
@@ -76,6 +113,7 @@ def export_servable(
         "class_names": list(class_names),
         "input_shape": list(input_shape),
         "batch_sizes": sorted(blobs),
+        "n_devices": n_dev,
         "platform": jex.default_export_platform(),
         "jax_version": jax.__version__,
     }
@@ -86,7 +124,10 @@ def export_servable(
 
 
 def export_from_checkpoint(
-    model_dir: str, path: str, batch_sizes: Sequence[int] = (1, 32)
+    model_dir: str,
+    path: str,
+    batch_sizes: Sequence[int] = (1, 32),
+    data_parallel: int = 1,
 ) -> None:
     """Build an artifact straight from an Orbax checkpoint directory."""
     from vct.serve.deployment import load_model
@@ -104,6 +145,7 @@ def export_from_checkpoint(
         ),
         path,
         batch_sizes=batch_sizes,
+        data_parallel=data_parallel,
     )
 
 
@@ -114,8 +156,10 @@ class AotServable:
         self.class_names: List[str] = list(manifest["class_names"])
         self.input_shape = tuple(manifest["input_shape"])
         self.platform: str = manifest["platform"]
+        self.n_devices: int = int(manifest.get("n_devices", 1))
         self._fns = fns  # batch size -> Exported
         self._buckets = sorted(fns)
+        self._sharding = None
 
     @classmethod
     def load(cls, path: str) -> "AotServable":
@@ -145,7 +189,10 @@ class AotServable:
 
         Chunks of the largest bucket stream through its executable; the tail
         pads up to the smallest bucket that fits (same shape discipline as
-        ``deployment.classify_videos``)."""
+        ``deployment.classify_videos``). Multi-device artifacts
+        (``n_devices > 1``) shard each chunk batch-wise over the mesh —
+        loading one requires at least that many visible devices."""
+        import jax
         import jax.numpy as jnp
 
         clips = np.asarray(clips, np.float32)
@@ -153,6 +200,19 @@ class AotServable:
             raise ValueError(
                 f"expected (N,) + {self.input_shape}, got {clips.shape}"
             )
+        if self.n_devices > 1 and self._sharding is None:
+            if len(jax.devices()) < self.n_devices:
+                raise ValueError(
+                    f"artifact was exported for {self.n_devices} devices; "
+                    f"only {len(jax.devices())} are visible"
+                )
+            self._sharding = _batch_sharding(self.n_devices)
+
+        def _stage(chunk):
+            if self._sharding is not None:
+                return jax.device_put(chunk, self._sharding)
+            return jnp.asarray(chunk)
+
         out = []
         big = self._buckets[-1]
         n = len(clips)
@@ -165,7 +225,7 @@ class AotServable:
                 chunk = np.concatenate(
                     [chunk, np.zeros((b - m,) + chunk.shape[1:], chunk.dtype)]
                 )
-            out.append(np.asarray(self._fns[b].call(jnp.asarray(chunk)))[:m])
+            out.append(np.asarray(self._fns[b].call(_stage(chunk)))[:m])
             start += m
         return (
             np.concatenate(out)
@@ -187,13 +247,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         default="1,32",
         help="comma-separated batch buckets to compile (default 1,32)",
     )
+    parser.add_argument(
+        "--data_parallel",
+        type=int,
+        default=1,
+        help="shard every executable batch-wise over this many devices "
+             "(serving then requires the same device count)",
+    )
     args = parser.parse_args(argv)
     batch_sizes = [int(b) for b in args.batches.split(",") if b.strip()]
-    export_from_checkpoint(args.model, args.out, batch_sizes=batch_sizes)
+    export_from_checkpoint(args.model, args.out, batch_sizes=batch_sizes,
+                           data_parallel=args.data_parallel)
     sv = AotServable.load(args.out)
     print(
         f"exported {args.out}: platform={sv.platform} "
-        f"buckets={sorted(sv._fns)} classes={sv.class_names}"
+        f"buckets={sorted(sv._fns)} devices={sv.n_devices} "
+        f"classes={sv.class_names}"
     )
     return 0
 
