@@ -22,6 +22,9 @@ Modes (env VCT_BENCH_MODE):
   * train — training throughput: the jitted donated train step (forward +
     loss + backward + adam; backbone frozen like every reference config) on
     the same model/shape. Reference record ~70 clips/s through training.
+  * aot — the same forward served through a .vctaot AOT artifact
+    (vct.serve.aot): export, deserialize, then time the StableHLO
+    executable's .call — shows artifact serving matches the live-jit rate.
   * hostfed — every batch is device_put from host RAM inside the timed
     window, double-buffered against compute. On a real v5e host the copy
     (24.6 MB uint8/batch, ~1.5 ms at PCIe gen4) hides entirely under the
@@ -184,6 +187,49 @@ def main() -> int:
             out = None
             for _ in range(iters):
                 out = sample_and_infer(variables, raw_dev, lens_dev)
+            np.asarray(out)
+            windows.append(time.perf_counter() - t0)
+        clips_per_sec = batch * iters / min(windows)
+        print(json.dumps({
+            "metric": metric,
+            "value": round(clips_per_sec, 2),
+            "unit": "clips/s",
+            "vs_baseline": round(clips_per_sec / baseline, 3),
+        }))
+        return 0
+
+    if feed == "aot":
+        # Throughput through a .vctaot artifact (vct.serve.aot): the
+        # deserialized StableHLO executable with weights baked in — measures
+        # that AOT serving costs nothing vs the live-jitted path. Input is
+        # the artifact's deployed contract (f32 clips in [0,1], softmax
+        # out); conv/matmul compute stays bf16 via the model's dtype.
+        import tempfile
+
+        from vct.serve.aot import AotServable, export_servable
+
+        metric += "_aot"
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((2, T, H, W, 3), jnp.float32)
+        )
+        x_f32 = raw_u8.astype(np.float32) / 255.0
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "bench.vctaot")
+            export_servable(
+                model, variables,
+                [f"c{i}" for i in range(cfg.model.num_classes)],
+                (T, H, W, 3), path, batch_sizes=(batch,),
+            )
+            sv = AotServable.load(path)
+        exp = sv._fns[batch]
+        xb = jax.device_put(jnp.asarray(x_f32))
+        np.asarray(exp.call(xb))  # compile
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = exp.call(xb)
             np.asarray(out)
             windows.append(time.perf_counter() - t0)
         clips_per_sec = batch * iters / min(windows)
