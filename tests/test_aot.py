@@ -86,6 +86,26 @@ def test_wrong_clip_geometry_raises(tiny, tmp_path):
         sv.classify(np.zeros((1, 5, 24, 24, 3), np.float32))
 
 
+def test_wrong_platform_artifact_raises(tiny, tmp_path, monkeypatch):
+    """A tpu-exported artifact loaded on a cpu backend (or vice versa) fails
+    at load with a clear message, not deep inside XLA at call time."""
+    cfg, model, variables = tiny
+    path = str(tmp_path / "m.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, path,
+                    batch_sizes=(1,))
+    import zipfile as zf_mod
+
+    with zf_mod.ZipFile(path) as zf:
+        manifest = json.loads(zf.read("manifest.json"))
+        blob = zf.read("batch_1.stablehlo")
+    manifest["platform"] = "tpu" if jax.default_backend() != "tpu" else "cpu"
+    with zf_mod.ZipFile(path, "w") as zf:
+        zf.writestr("manifest.json", json.dumps(manifest))
+        zf.writestr("batch_1.stablehlo", blob)
+    with pytest.raises(ValueError, match="exported for platform"):
+        AotServable.load(path)
+
+
 def test_not_an_artifact_raises(tmp_path):
     path = str(tmp_path / "bogus.vctaot")
     with zipfile.ZipFile(path, "w") as zf:

@@ -23,6 +23,7 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    initialization_timeout: Optional[int] = None,
 ) -> None:
     """jax.distributed.initialize with TPU auto-detection defaults.
 
@@ -43,6 +44,11 @@ def initialize(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
+    if initialization_timeout is not None:
+        # Connect-to-coordinator grace (jax default 300 s). On oversubscribed
+        # test rigs two ranks' interpreter start/import times can diverge by
+        # minutes; raise it so the early rank outwaits the late one.
+        kwargs["initialization_timeout"] = initialization_timeout
     jax.distributed.initialize(**kwargs)
 
 

@@ -176,13 +176,31 @@ class AotServable:
                 b: jex.deserialize(bytearray(zf.read(f"batch_{b}.stablehlo")))
                 for b in manifest["batch_sizes"]
             }
-        return cls(manifest, fns)
+        sv = cls(manifest, fns)
+        sv.check_platform()
+        return sv
 
     def _bucket_for(self, n: int) -> int:
         for b in self._buckets:
             if b >= n:
                 return b
         return self._buckets[-1]
+
+    def check_platform(self) -> None:
+        """Raise a clear error when the artifact was lowered for a platform
+        other than the default backend (artifacts are per-platform: the
+        serialized StableHLO embeds its target)."""
+        import jax
+
+        here = jax.default_backend()
+        # jax.export spells the TPU platform "tpu"; backends agree today,
+        # but compare case-insensitively to be safe.
+        if self.platform.lower() != here.lower():
+            raise ValueError(
+                f"artifact was exported for platform={self.platform!r} but "
+                f"the default backend here is {here!r}; re-export on this "
+                "platform (python -m vct.serve.aot)"
+            )
 
     def classify(self, clips: np.ndarray) -> np.ndarray:
         """Softmax probabilities for (N, T, H, W, 3) clips.
