@@ -22,6 +22,9 @@ Modes (env VCT_BENCH_MODE):
   * train — training throughput: the jitted donated train step (forward +
     loss + backward + adam; backbone frozen like every reference config) on
     the same model/shape. Reference record ~70 clips/s through training.
+  * caption — S2VT captioning: CNN + encoder GRU + jitted on-device beam
+    search (width 3) at the reference caption geometry (30x224x224,
+    resnet50); captions/s. No reference rate exists (vs_baseline null).
   * aot — the same forward served through a .vctaot AOT artifact
     (vct.serve.aot): export, deserialize, then time the StableHLO
     executable's .call — shows artifact serving matches the live-jit rate.
@@ -195,6 +198,59 @@ def main() -> int:
             "value": round(clips_per_sec, 2),
             "unit": "clips/s",
             "vs_baseline": round(clips_per_sec / baseline, 3),
+        }))
+        return 0
+
+    if feed == "caption":
+        # S2VT captioning throughput: full pipeline CNN -> encoder GRU ->
+        # jitted on-device beam search (width 3, max_len 30) at the
+        # reference's caption geometry (224x224, 30 frames, resnet50 —
+        # s2vt/beam_search.py:91-118, 384-436). The reference persisted no
+        # captioning rate anywhere (SURVEY.md §6) and its beam search runs
+        # per-beam per-step host Python with an O(max_len^2) decoder quirk,
+        # so vs_baseline is null — the number stands on its own.
+        from vct.caption.beam import beam_search
+        from vct.caption.models import S2VTModel
+
+        cb = int(os.environ.get("VCT_BENCH_BATCH", "16"))
+        T, H, W = 30, 224, 224
+        vocab = 3000
+        cmodel = S2VTModel(
+            vocab_size=vocab,
+            cnn_backbone="resnet50",
+            cnn_output_size=512,
+            hidden_size=512,
+            max_len=30,
+            dtype=jnp.bfloat16,
+        )
+        raw = rng.randint(0, 256, size=(cb, T, H, W, 3), dtype=np.uint8)
+        init_x = jnp.zeros((2, T, H, W, 3), jnp.float32)
+        variables = jax.jit(cmodel.init)(jax.random.PRNGKey(0), init_x)
+
+        @jax.jit
+        def caption(variables, raw):
+            x = raw.astype(jnp.float32) / 255.0
+            tokens, scores = beam_search(
+                cmodel, variables, x, beam_width=3, max_len=30
+            )
+            return tokens
+
+        raw_dev = jax.device_put(raw)
+        np.asarray(caption(variables, raw_dev))  # compile
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = caption(variables, raw_dev)
+            np.asarray(out)
+            windows.append(time.perf_counter() - t0)
+        caps_per_sec = cb * iters / min(windows)
+        print(json.dumps({
+            "metric": "s2vt_caption_beam3_captions_per_sec_per_chip",
+            "value": round(caps_per_sec, 2),
+            "unit": "captions/s",
+            "vs_baseline": None,
         }))
         return 0
 
