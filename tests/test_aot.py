@@ -114,6 +114,22 @@ def test_not_an_artifact_raises(tmp_path):
         AotServable.load(path)
 
 
+def test_manifest_records_sampling_method(tiny, tmp_path):
+    """The artifact records the training-time frame sampling so serving
+    preprocesses identically to the checkpoint path (a ssim-trained model
+    sampled uniformly silently changes predictions)."""
+    cfg, model, variables = tiny
+    path = str(tmp_path / "m.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, path,
+                    batch_sizes=(1,), sampling_method="ssim")
+    sv = AotServable.load(path)
+    assert sv.sampling_method == "ssim"
+    # absent in older artifacts -> None, not a KeyError
+    export_servable(model, variables, list("abcd"), SHAPE, path,
+                    batch_sizes=(1,))
+    assert AotServable.load(path).sampling_method is None
+
+
 def test_data_parallel_export_serves_on_mesh(tiny, tmp_path):
     """data_parallel=4: ONE artifact whose executables shard the batch over
     4 devices (suite runs on the virtual 8-device CPU mesh); classify output
@@ -153,7 +169,7 @@ def test_worker_serves_from_artifact(tiny, tmp_path, monkeypatch):
     cfg, model, variables = tiny
     art = str(tmp_path / "m.vctaot")
     export_servable(model, variables, list("abcd"), SHAPE, art,
-                    batch_sizes=(2,))
+                    batch_sizes=(2,), sampling_method="sad")
 
     from vct.core.config import ServeConfig
     from vct.serve import worker as worker_mod
@@ -195,6 +211,8 @@ def test_worker_serves_from_artifact(tiny, tmp_path, monkeypatch):
     assert w.servable is not None
     assert w.class_names == list("abcd")
     assert w.cfg.sequence_length == SHAPE[0]  # artifact T wins over env
+    # No SAMPLING_METHOD env set -> preprocess the way the model trained
+    assert w.cfg.sampling_method == "sad"
 
     w.callback("https://www.tiktok.com/@u/video/1")
     assert downloaded == ["https://www.tiktok.com/@u/video/1"]

@@ -100,6 +100,57 @@ def test_lazy_loader_skips_missing_files(tmp_path, capsys):
     assert "Error processing ghost" in capsys.readouterr().out
 
 
+def test_lazy_loader_skips_corrupt_clip_mid_epoch(tmp_path, capsys):
+    """A file that EXISTS but cannot decode (corrupt download) must not
+    crash training mid-epoch: its row masks to 0 for this epoch, the item
+    drops from the dataset at the next epoch, and the BLEU references stay
+    aligned with what actually decoded."""
+    v = _vocab()
+    d = str(tmp_path / "vids")
+    ann = _write_videos(d, 4, frames=4, size=32)
+    # Overwrite vid1 with garbage bytes: exists, passes __init__, fails decode.
+    with open(os.path.join(d, "vid1.mp4"), "wb") as f:
+        f.write(b"not a video at all")
+    loader = LazyCaptionLoader(d, ann, v, batch_size=2, num_frames=2,
+                               max_caption_len=6, size=32, video_ext=".mp4")
+    assert loader.num_examples == 4
+
+    batches = list(loader.epoch())  # sequential order: [0,1], [2,3]
+    assert len(batches) == 2
+    _, _, mask0 = batches[0]
+    np.testing.assert_array_equal(mask0, [1.0, 0.0])  # vid1 masked out
+    _, _, mask1 = batches[1]
+    np.testing.assert_array_equal(mask1, [1.0, 1.0])
+    assert "Error processing vid1.mp4" in capsys.readouterr().out
+    # references reflect the failure for alignment with decoded rows
+    assert len(loader.references) == 3
+
+    # next epoch: the item is gone for good, full masks again
+    batches = list(loader.epoch())
+    assert loader.num_examples == 3
+    assert len(batches) == 2
+    np.testing.assert_array_equal(batches[0][2], [1.0, 1.0])
+    np.testing.assert_array_equal(batches[1][2], [1.0, 0.0])  # tail pad
+    assert len(loader.references) == 3
+
+
+def test_lazy_loader_peek_skips_corrupt_and_empty_raises(tmp_path):
+    v = _vocab()
+    d = str(tmp_path / "vids")
+    ann = _write_videos(d, 2, frames=4, size=32)
+    with open(os.path.join(d, "vid0.mp4"), "wb") as f:
+        f.write(b"garbage")
+    loader = LazyCaptionLoader(d, ann, v, batch_size=2, num_frames=2,
+                               size=32, video_ext=".mp4")
+    clip, cap = loader.peek()  # falls through to vid1
+    assert clip.shape == (1, 2, 32, 32, 3)
+
+    empty = LazyCaptionLoader(d, ann, v, batch_size=2, num_frames=2,
+                              size=32, video_ext=".avi")  # no .avi files
+    with pytest.raises(ValueError, match="no decodable clips"):
+        empty.peek()
+
+
 def test_as_caption_loader_coerces():
     v = _vocab()
     videos = np.random.RandomState(0).rand(3, 2, 16, 16, 3).astype(np.float32)
@@ -203,6 +254,42 @@ def test_caption_resume_matches_uninterrupted(tmp_path):
                             checkpoint_dir=ck, log=False)
     assert len(losses_res) == 3
     np.testing.assert_allclose(losses_res, losses_ref, rtol=1e-5)
+
+
+def test_legacy_caption_checkpoint_restores(tmp_path, capsys):
+    """Checkpoints saved before rng/step joined the state tree still
+    restore (params/opt only, fresh rng) — an automatic resume must not
+    become a hard crash on upgrade."""
+    import jax as _jax
+
+    from vct.caption.train import CaptionTrainer
+    from vct.train.checkpoint import _atomic_json_write, _atomic_tree_save
+
+    v = _vocab()
+    videos = np.random.RandomState(0).rand(2, 2, 24, 24, 3).astype(np.float32)
+    caps = np.stack([encode_caption(s, v, 6) for s in SENTENCES[:2]])
+    cfg = CaptionConfig(cnn_backbone="resnet18", cnn_output_size=8,
+                        hidden_size=8, num_frames=2, max_caption_len=6,
+                        epochs=1, checkpoint_dir="")
+    trainer = CaptionTrainer(cfg, v)
+    state = trainer.init_state(_jax.random.PRNGKey(0), videos, caps)
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck, exist_ok=True)
+    _atomic_tree_save(os.path.join(ck, "state"), {
+        "params": _jax.device_get(state.params),
+        "extra_vars": _jax.device_get(state.extra_vars),
+        "opt_state": _jax.device_get(state.opt_state),
+    })  # the legacy 3-key layout
+    _atomic_json_write(os.path.join(ck, "manifest.json"),
+                       {"epoch": 1, "loss": 0.5, "vocab": v.to_dict()})
+
+    restored, epoch, _ = trainer.load_checkpoint(ck, state)
+    assert epoch == 1
+    assert "legacy caption checkpoint" in capsys.readouterr().out
+    np.testing.assert_array_equal(
+        _jax.device_get(restored.step), _jax.device_get(state.step)
+    )
 
 
 @pytest.mark.slow

@@ -182,6 +182,34 @@ class TestDeployment:
         )
         assert construct_url("random.mp4") is None
 
+    def test_infer_cache_releases_dropped_models(self):
+        """The per-model jit cache must actually evict: the compiled fn
+        holds the model by weakref, so dropping the model releases the
+        WeakKeyDictionary entry (a value closing strongly over its key
+        would pin the entry forever — the leak the cache exists to fix)."""
+        import gc
+
+        import jax
+
+        from vct.core.config import ModelConfig
+        from vct.models import build_model
+        from vct.serve.deployment import _infer_cache, _jitted_infer
+
+        cfg = ModelConfig(num_classes=2, cnn_backbone="resnet18",
+                          rnn_type="gru", rnn_input_size=8, rnn_layer=1)
+        model = build_model(cfg, 2)
+        x = np.random.RandomState(0).rand(1, 2, 16, 16, 3).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        before = len(_infer_cache)
+        fn = _jitted_infer(model)
+        probs = np.asarray(fn(variables, x))
+        assert probs.shape == (1, 2)
+        assert _jitted_infer(model) is fn  # cached, no re-trace
+        assert len(_infer_cache) == before + 1
+        del model, fn
+        gc.collect()
+        assert len(_infer_cache) == before
+
     def test_classify_and_display_contract(self, capsys):
         import jax
 

@@ -509,3 +509,25 @@ def test_fold_unknown_backbone_raises():
 
     with pytest.raises(KeyError, match="No stem path"):
         fold_input_scale_into_stem({}, "resnext")
+
+
+def test_consume_tracker_probes_do_not_consume():
+    """`in` and `get(miss)` are pure probes: a porter probing for optional
+    keys (the bidirectional-detection pattern) must NOT mark them consumed,
+    or the leftovers check would pass on weights that were never ported."""
+    from vct.models.lrcn_port import _ConsumeTracker
+
+    sd = {"a": np.zeros(1), "rnn.weight_hh_l0_reverse": np.ones(1)}
+    t = _ConsumeTracker(sd)
+    assert "rnn.weight_hh_l0_reverse" in t
+    assert t.get("missing") is None
+    assert t.get("missing", 7) == 7
+    assert t.leftovers() == ["a", "rnn.weight_hh_l0_reverse"]
+    # real reads DO consume — get() hit included
+    _ = t["a"]
+    assert t.get("rnn.weight_hh_l0_reverse") is not None
+    assert t.leftovers() == []
+    # Mapping niceties still route through tracking
+    t2 = _ConsumeTracker(dict(sd))
+    assert sorted(k for k, _ in t2.items()) == sorted(sd)
+    assert t2.leftovers() == []

@@ -135,27 +135,16 @@ def load_caption_dataset(
 # ----------------------------------------------------------------------
 
 
-class CaptionArrayLoader:
-    """In-memory (clips, captions) batches, mask-padded to a fixed shape."""
+from vct.data.loaders import ArrayLoader as _ArrayLoader
+
+
+class CaptionArrayLoader(_ArrayLoader):
+    """In-memory (clips, captions) batches — exactly the classifier's
+    ``ArrayLoader`` contract, so inherit it instead of drifting a copy."""
 
     def __init__(self, videos: np.ndarray, captions: np.ndarray,
                  batch_size: int):
-        from vct.data.loaders import _pad  # shared pad-and-mask helper
-
-        self._pad = _pad
-        self.videos, self.captions = videos, captions
-        self.batch_size = batch_size
-        self.num_examples = len(videos)
-
-    def epoch(self, rng=None):
-        order = (rng.permutation(self.num_examples) if rng is not None
-                 else np.arange(self.num_examples))
-        for start in range(0, self.num_examples, self.batch_size):
-            idx = order[start : start + self.batch_size]
-            yield self._pad(
-                self.videos[idx], self.captions[idx], len(idx),
-                self.batch_size,
-            )
+        super().__init__(np.asarray(videos), np.asarray(captions), batch_size)
 
 
 class LazyCaptionLoader:
@@ -167,8 +156,12 @@ class LazyCaptionLoader:
     normalize happens on device (``vct.data.preprocess.preprocess_clips``).
 
     Captions encode once up front (tiny); missing video files are skipped
-    with a print at construction, matching ``load_caption_dataset``'s
-    defensive-skip style (loader_data.py:301-303 pattern).
+    with a print at construction, and a clip whose DECODE fails mid-epoch
+    (corrupt file that exists on disk) is skipped too — its batch row masks
+    to 0 for the rest of the epoch and the item drops from the dataset at
+    the next ``epoch()`` call — matching ``load_caption_dataset``'s
+    defensive-skip style (loader_data.py:301-303 pattern) instead of
+    crashing training hours in.
     """
 
     def __init__(
@@ -207,27 +200,81 @@ class LazyCaptionLoader:
             else np.zeros((0, max_caption_len), np.int32)
         )
         # Tokenized references aligned with iteration order (BLEU eval).
-        self.references = [[tokenize_caption(c)] for _, c in self.annotations]
+        self._references = [[tokenize_caption(c)] for _, c in self.annotations]
         self.batch_size = batch_size
         self.num_frames, self.size = num_frames, size
         self.num_examples = len(self.paths)
+        self._bad: set = set()  # indices whose decode failed this epoch
+
+    @property
+    def references(self):
+        """BLEU references aligned with what an eval pass actually decoded:
+        items whose decode failed are excluded (their rows are mask-dropped
+        by ``CaptionTrainer.caption_videos``)."""
+        if not self._bad:
+            return self._references
+        return [r for i, r in enumerate(self._references)
+                if i not in self._bad]
 
     def _decode(self, i: int) -> np.ndarray:
         return extract_frames_interval(
             self.paths[i], self.num_frames, self.size, as_uint8=True
         )
 
+    def _decode_safe(self, i: int):
+        try:
+            return self._decode(i)
+        except Exception as e:  # corrupt/truncated file: skip, don't crash
+            if i not in self._bad:
+                print(f"Error processing "
+                      f"{os.path.basename(self.paths[i])}: {e}")
+            self._bad.add(i)
+            return None
+
+    def _compact(self) -> None:
+        """Permanently drop items whose decode failed in a prior epoch."""
+        if not self._bad:
+            return
+        keep = [i for i in range(self.num_examples) if i not in self._bad]
+        self.paths = [self.paths[i] for i in keep]
+        self.annotations = [self.annotations[i] for i in keep]
+        self._references = [self._references[i] for i in keep]
+        self.captions = self.captions[np.asarray(keep, np.int64)] if keep \
+            else self.captions[:0]
+        self.num_examples = len(keep)
+        self._bad = set()
+
     def peek(self) -> Tuple[np.ndarray, np.ndarray]:
-        """(clip[1], caption[1]) of the first item — for model init."""
-        return self._decode(0)[None], self.captions[:1]
+        """(clip[1], caption[1]) of the first decodable item — for model
+        init."""
+        for i in range(self.num_examples):
+            clip = self._decode_safe(i)
+            if clip is not None:
+                return clip[None], self.captions[i : i + 1]
+        raise ValueError(
+            f"no decodable clips among {self.num_examples} item(s) — check "
+            "video_dir / video_ext (files may not match the annotation ids)"
+        )
 
     def epoch(self, rng=None):
+        self._compact()
         order = (rng.permutation(self.num_examples) if rng is not None
                  else np.arange(self.num_examples))
+        blank = np.zeros((self.num_frames, self.size, self.size, 3), np.uint8)
         for start in range(0, self.num_examples, self.batch_size):
             idx = order[start : start + self.batch_size]
-            xb = np.stack([self._decode(i) for i in idx])
-            yield self._pad(xb, self.captions[idx], len(idx), self.batch_size)
+            rows, flags = [], []
+            for i in idx:
+                clip = self._decode_safe(i)
+                rows.append(blank if clip is None else clip)
+                flags.append(0.0 if clip is None else 1.0)
+            if not any(flags):
+                continue  # every clip in the batch failed
+            xb, yb, mask = self._pad(
+                np.stack(rows), self.captions[idx], len(idx), self.batch_size
+            )
+            mask[: len(flags)] *= np.asarray(flags, np.float32)
+            yield xb, yb, mask
 
 
 def as_caption_loader(videos, captions=None, batch_size: int = 4):
@@ -236,6 +283,4 @@ def as_caption_loader(videos, captions=None, batch_size: int = 4):
         return videos
     if captions is None:
         raise TypeError(f"not a caption loader and no captions: {type(videos)!r}")
-    return CaptionArrayLoader(
-        np.asarray(videos), np.asarray(captions), batch_size
-    )
+    return CaptionArrayLoader(videos, captions, batch_size)

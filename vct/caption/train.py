@@ -362,7 +362,20 @@ class CaptionTrainer:
             "rng": jax.device_get(state.rng),
             "step": jax.device_get(state.step),
         }
-        tree = ckpt.restore(os.path.join(path, "state"), target)
+        try:
+            tree = ckpt.restore(os.path.join(path, "state"), target)
+        except Exception:
+            # Legacy checkpoints (saved before rng/step were added to the
+            # tree): restore the keys that exist and keep the fresh state's
+            # rng/step — an automatic resume must not become a hard crash
+            # on upgrade. The resumed run then matches the legacy resume
+            # semantics (dropout stream restarts), not bit-exact replay.
+            legacy = {k: target[k]
+                      for k in ("params", "extra_vars", "opt_state")}
+            tree = ckpt.restore(os.path.join(path, "state"), legacy)
+            tree = {**tree, "rng": target["rng"], "step": target["step"]}
+            print("Restored legacy caption checkpoint (no rng/step saved); "
+                  "dropout stream restarts from the fresh seed")
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
         state = state.replace(
             params=as_jnp(tree["params"]),
@@ -414,7 +427,9 @@ class CaptionTrainer:
         hyps: List[List[str]] = []
         for xb, _, mask in videos.epoch():
             rows = self._decode_batch(variables, xb, beam_width)
-            hyps.extend(rows[: int(np.sum(mask))])
+            # Select by the mask flags, not a prefix count: a lazy loader
+            # masks a mid-batch row to 0 when that clip's decode failed.
+            hyps.extend(r for r, m in zip(rows, mask) if m > 0)
         return hyps
 
     def evaluate_bleu(
@@ -425,14 +440,17 @@ class CaptionTrainer:
         beam_width: Optional[int] = None,
         log: bool = True,
     ) -> float:
-        if references is None:
-            references = getattr(videos, "references", None)
-            if references is None:
-                raise TypeError(
-                    "references required unless the loader carries them"
-                )
+        if references is None and not hasattr(videos, "references"):
+            raise TypeError(
+                "references required unless the loader carries them"
+            )
         start = time.time()
         hyps = self.caption_videos(state, videos, beam_width)
+        if references is None:
+            # AFTER decoding: a lazy loader's references property excludes
+            # clips whose decode failed during the pass just made, keeping
+            # the zip aligned with the surviving hypotheses.
+            references = videos.references
         avg = corpus_average_bleu(list(zip(references, hyps)))
         if log:
             print(f"Average BLEU score: {avg:.4f}")

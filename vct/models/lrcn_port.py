@@ -56,8 +56,12 @@ class _ConsumeTracker(collections.abc.Mapping):
     (a prefix-based check would silently pass e.g. ``rnn.*_reverse`` weights
     when porting a bidirectional checkpoint with bidirectional=False).
 
-    Derives from ``Mapping`` so every dict-style access (``get``/``items``/
-    ``values`` included) routes through the tracking ``__getitem__``."""
+    Derives from ``Mapping`` so every dict-style access (``items``/
+    ``values`` included) routes through the tracking ``__getitem__`` —
+    EXCEPT the pure existence probes ``in`` and ``get(key)``-miss, which
+    must NOT consume: a porter probing ``if "rnn.weight_hh_l0_reverse" in
+    sd`` (the bidirectional-detection pattern) would otherwise mark the
+    tensor ported without reading it and defeat the leftovers check."""
 
     def __init__(self, data: Dict[str, np.ndarray], consumed=None, prefix=""):
         self.data = data
@@ -67,6 +71,14 @@ class _ConsumeTracker(collections.abc.Mapping):
     def __getitem__(self, key):
         self.consumed.add(self.prefix + key)
         return self.data[key]
+
+    def __contains__(self, key):
+        return key in self.data  # probe, not consumption
+
+    def get(self, key, default=None):
+        # Only an actual hit consumes (Mapping.get would consume via
+        # __getitem__ regardless; a miss must stay a pure probe).
+        return self[key] if key in self.data else default
 
     def __iter__(self):
         return iter(self.data)

@@ -62,8 +62,14 @@ def export_servable(
     path: str,
     batch_sizes: Sequence[int] = (1, 32),
     data_parallel: int = 1,
+    sampling_method: Optional[str] = None,
 ) -> None:
     """Serialize ``softmax(model.apply(variables, x))`` for each batch bucket.
+
+    ``sampling_method`` records the frame-sampling the model was trained
+    with so artifact-serving paths preprocess the same way the checkpoint
+    path would (a ssim-trained model served with uniform sampling silently
+    changes predictions).
 
     ``input_shape`` is the per-clip (T, H, W, C) geometry; ``variables`` are
     closed over, so they lower to constants inside the artifact (the
@@ -114,6 +120,7 @@ def export_servable(
         "input_shape": list(input_shape),
         "batch_sizes": sorted(blobs),
         "n_devices": n_dev,
+        "sampling_method": sampling_method,
         "platform": jex.default_export_platform(),
         "jax_version": jax.__version__,
     }
@@ -146,6 +153,7 @@ def export_from_checkpoint(
         path,
         batch_sizes=batch_sizes,
         data_parallel=data_parallel,
+        sampling_method=cfg.data.sampling_method,
     )
 
 
@@ -157,6 +165,7 @@ class AotServable:
         self.input_shape = tuple(manifest["input_shape"])
         self.platform: str = manifest["platform"]
         self.n_devices: int = int(manifest.get("n_devices", 1))
+        self.sampling_method: Optional[str] = manifest.get("sampling_method")
         self._fns = fns  # batch size -> Exported
         self._buckets = sorted(fns)
         self._sharding = None

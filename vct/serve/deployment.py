@@ -59,15 +59,20 @@ _infer_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def _jitted_infer(model):
     """One cached jit per model instance — the worker must NOT re-trace per
-    message (linen modules hash by their fields)."""
+    message (linen modules hash by their fields).
+
+    The closure holds the model by WEAK reference: a cached value that
+    strongly referenced its key would pin the WeakKeyDictionary entry
+    forever and re-create the leak the weak keying exists to fix."""
     import jax
 
     fn = _infer_cache.get(model)
     if fn is None:
+        model_ref = weakref.ref(model)
 
         @jax.jit
         def infer(variables, x):
-            return jax.nn.softmax(model.apply(variables, x), axis=-1)
+            return jax.nn.softmax(model_ref().apply(variables, x), axis=-1)
 
         _infer_cache[model] = fn = infer
     return fn
@@ -313,9 +318,23 @@ def main(argv=None) -> int:
         servable = AotServable.load(args.model)
         class_names = servable.class_names
         model = variables = cfg = None
-        sampling = args.sampling or "uniform"
-        seq_len = args.sequence_length or servable.input_shape[0]
+        # The manifest records the training-time sampling so artifact
+        # serving preprocesses like the checkpoint path would.
+        sampling = args.sampling or servable.sampling_method or "uniform"
+        art_T = servable.input_shape[0]
+        if args.sequence_length and args.sequence_length != art_T:
+            print(
+                f"--sequence_length {args.sequence_length} overridden to "
+                f"{art_T}: the artifact's executables are compiled for "
+                f"T={art_T}"
+            )
+        seq_len = art_T
         img_h, img_w = servable.input_shape[1], servable.input_shape[2]
+        if args.mesh:
+            print(
+                "--mesh is ignored for .vctaot artifacts; export with "
+                "--data_parallel to bake multi-chip sharding into the file"
+            )
     else:
         model, variables, class_names, cfg = load_model(args.model)
         sampling = args.sampling or cfg.data.sampling_method

@@ -60,6 +60,15 @@ class Worker:
                 self.cfg = cfg = dataclasses.replace(
                     cfg, sequence_length=art_T
                 )
+            if (self.servable.sampling_method
+                    and "SAMPLING_METHOD" not in os.environ):
+                # No explicit env override: preprocess the way the model
+                # was trained (the manifest records it).
+                import dataclasses
+
+                self.cfg = cfg = dataclasses.replace(
+                    cfg, sampling_method=self.servable.sampling_method
+                )
         else:
             self.model, self.variables, self.class_names, self.model_cfg = (
                 load_model(cfg.model_path)

@@ -48,9 +48,18 @@ def _atomic_tree_save(final_path: str, tree) -> None:
 
     Multi-process: Orbax ``save`` is a COLLECTIVE (it runs its own
     ``sync_global_processes`` barriers), so EVERY rank must call this with
-    the same path; only the primary performs the host-fs cleanup/renames.
+    the same path; only the primary performs the host-fs cleanup/renames,
+    and explicit barriers separate those mutations from the other ranks'
+    collective save calls — relying on Orbax to barrier before its first
+    path access would be an undocumented-ordering assumption.
     """
     import shutil
+
+    def _barrier(tag: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
 
     tmp_path = final_path + ".tmp"
     old_path = final_path + ".old"
@@ -59,16 +68,21 @@ def _atomic_tree_save(final_path: str, tree) -> None:
         for stale in (tmp_path, old_path):
             if os.path.exists(stale):
                 shutil.rmtree(stale)
+    # No rank may enter the collective save while the primary can still be
+    # deleting a stale tmp dir out from under it.
+    _barrier("vct_ckpt_pre_save")
     ckpt = _checkpointer()
     ckpt.save(tmp_path, tree)
     ckpt.wait_until_finished()
-    if not primary:
-        return
-    if os.path.exists(final_path):
-        os.rename(final_path, old_path)
-    os.rename(tmp_path, final_path)
-    if os.path.exists(old_path):
-        shutil.rmtree(old_path)
+    if primary:
+        if os.path.exists(final_path):
+            os.rename(final_path, old_path)
+        os.rename(tmp_path, final_path)
+        if os.path.exists(old_path):
+            shutil.rmtree(old_path)
+    # ... and no rank may race ahead (into the NEXT epoch's save of the
+    # same tmp path) while the primary is mid-rename.
+    _barrier("vct_ckpt_post_swap")
 
 
 def _atomic_json_write(path: str, obj) -> None:
