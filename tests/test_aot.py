@@ -161,6 +161,45 @@ def test_data_parallel_bucket_validation(tiny, tmp_path):
                         batch_sizes=(2,), data_parallel=0)
 
 
+def test_device_sampling_baked_into_artifact(tiny, tmp_path):
+    """--device_sampling bakes scoring + top-T selection + /255 + forward
+    into ONE executable: classify_raw on ragged raw uint8 clips matches the
+    live device_sample_clips -> forward path exactly."""
+    from vct.data.preprocess import device_sample_clips
+
+    cfg, model, variables = tiny
+    path = str(tmp_path / "s.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, path,
+                    batch_sizes=(2,), device_sampling="sad", raw_len=7)
+    sv = AotServable.load(path)
+    assert sv.device_sampling == "sad" and sv.raw_len == 7
+
+    rng = np.random.RandomState(4)
+    raw = rng.randint(0, 256, size=(3, 7) + SHAPE[1:], dtype=np.uint8)
+    lengths = np.asarray([7, 5, 4], np.int32)
+    for i, ln in enumerate(lengths):
+        raw[i, ln:] = raw[i, ln - 1]  # tail padding, masked from selection
+    got = sv.classify_raw(raw, lengths)  # full chunk of 2 + padded tail
+
+    x = device_sample_clips(jnp.asarray(raw), SHAPE[0], method="sad",
+                            lengths=jnp.asarray(lengths))
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, x), axis=-1)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # contract guards: wrong entry point, wrong geometry
+    with pytest.raises(ValueError, match="classify_raw"):
+        sv.classify(np.zeros((1,) + SHAPE, np.float32))
+    with pytest.raises(ValueError, match="uint8"):
+        sv.classify_raw(raw.astype(np.float32), lengths)
+    plain = str(tmp_path / "p.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, plain,
+                    batch_sizes=(1,))
+    with pytest.raises(ValueError, match="no baked-in sampling"):
+        AotServable.load(plain).classify_raw(raw, lengths)
+
+
 def test_worker_serves_from_artifact(tiny, tmp_path, monkeypatch):
     """MODEL_PATH pointing at a .vctaot file: the queue worker loads the
     artifact (no model zoo / checkpoint restore), overrides SEQUENCE_LENGTH

@@ -63,6 +63,8 @@ def export_servable(
     batch_sizes: Sequence[int] = (1, 32),
     data_parallel: int = 1,
     sampling_method: Optional[str] = None,
+    device_sampling: Optional[str] = None,
+    raw_len: Optional[int] = None,
 ) -> None:
     """Serialize ``softmax(model.apply(variables, x))`` for each batch bucket.
 
@@ -79,13 +81,38 @@ def export_servable(
     N-device ``Mesh`` (weights replicated by propagation): ONE artifact file
     that serves data-parallel across N chips over ICI. Loading then requires
     exactly N devices, and every batch bucket must be a multiple of N.
+
+    ``device_sampling`` bakes the ENTIRE serving pipeline into the
+    executables: they take ragged raw uint8 clips (B, raw_len, H, W, 3)
+    plus true lengths (B,) and run frame scoring + top-T selection + /255
+    (``vct.data.preprocess.device_sample_clips``) before the forward — a
+    server needs only jax and the artifact, no preprocessing code. Serve
+    with ``AotServable.classify_raw``.
     """
     import jax
     import jax.numpy as jnp
     from jax import export as jex
 
-    def forward(x):
-        return jax.nn.softmax(model.apply(variables, x), axis=-1)
+    T = int(input_shape[0])
+    raw_len = int(raw_len) if raw_len else 2 * T
+    if device_sampling:
+        from vct.data.preprocess import device_sample_clips
+
+        if raw_len <= T:
+            raise ValueError(
+                f"raw_len {raw_len} must exceed the sampled T={T}"
+            )
+
+        def forward(raw, lengths):
+            x = device_sample_clips(
+                raw, T, method=device_sampling, lengths=lengths
+            )
+            return jax.nn.softmax(model.apply(variables, x), axis=-1)
+
+    else:
+
+        def forward(x):
+            return jax.nn.softmax(model.apply(variables, x), axis=-1)
 
     n_dev = int(data_parallel)
     if n_dev < 1:
@@ -97,7 +124,8 @@ def export_servable(
                 "devices are visible at export time"
             )
         sharding = _batch_sharding(n_dev)
-        fwd = jax.jit(forward, in_shardings=sharding,
+        n_args = 2 if device_sampling else 1
+        fwd = jax.jit(forward, in_shardings=(sharding,) * n_args,
                       out_shardings=sharding)
     else:
         fwd = jax.jit(forward)
@@ -110,8 +138,18 @@ def export_servable(
             raise ValueError(
                 f"batch bucket {b} is not a multiple of data_parallel={n_dev}"
             )
-        spec = jax.ShapeDtypeStruct((b,) + tuple(input_shape), jnp.float32)
-        exported = jex.export(fwd)(spec)
+        if device_sampling:
+            specs = (
+                jax.ShapeDtypeStruct(
+                    (b, raw_len) + tuple(input_shape[1:]), jnp.uint8
+                ),
+                jax.ShapeDtypeStruct((b,), jnp.int32),
+            )
+        else:
+            specs = (
+                jax.ShapeDtypeStruct((b,) + tuple(input_shape), jnp.float32),
+            )
+        exported = jex.export(fwd)(*specs)
         blobs[b] = exported.serialize()
 
     manifest = {
@@ -121,6 +159,8 @@ def export_servable(
         "batch_sizes": sorted(blobs),
         "n_devices": n_dev,
         "sampling_method": sampling_method,
+        "device_sampling": device_sampling,
+        "raw_len": raw_len if device_sampling else None,
         "platform": jex.default_export_platform(),
         "jax_version": jax.__version__,
     }
@@ -135,6 +175,8 @@ def export_from_checkpoint(
     path: str,
     batch_sizes: Sequence[int] = (1, 32),
     data_parallel: int = 1,
+    device_sampling: Optional[str] = None,
+    raw_len: Optional[int] = None,
 ) -> None:
     """Build an artifact straight from an Orbax checkpoint directory."""
     from vct.serve.deployment import load_model
@@ -154,6 +196,8 @@ def export_from_checkpoint(
         batch_sizes=batch_sizes,
         data_parallel=data_parallel,
         sampling_method=cfg.data.sampling_method,
+        device_sampling=device_sampling,
+        raw_len=raw_len,
     )
 
 
@@ -166,6 +210,8 @@ class AotServable:
         self.platform: str = manifest["platform"]
         self.n_devices: int = int(manifest.get("n_devices", 1))
         self.sampling_method: Optional[str] = manifest.get("sampling_method")
+        self.device_sampling: Optional[str] = manifest.get("device_sampling")
+        self.raw_len: Optional[int] = manifest.get("raw_len")
         self._fns = fns  # batch size -> Exported
         self._buckets = sorted(fns)
         self._sharding = None
@@ -211,22 +257,10 @@ class AotServable:
                 "platform (python -m vct.serve.aot)"
             )
 
-    def classify(self, clips: np.ndarray) -> np.ndarray:
-        """Softmax probabilities for (N, T, H, W, 3) clips.
-
-        Chunks of the largest bucket stream through its executable; the tail
-        pads up to the smallest bucket that fits (same shape discipline as
-        ``deployment.classify_videos``). Multi-device artifacts
-        (``n_devices > 1``) shard each chunk batch-wise over the mesh —
-        loading one requires at least that many visible devices."""
+    def _stage(self, chunk):
         import jax
         import jax.numpy as jnp
 
-        clips = np.asarray(clips, np.float32)
-        if clips.ndim != 5 or clips.shape[1:] != self.input_shape:
-            raise ValueError(
-                f"expected (N,) + {self.input_shape}, got {clips.shape}"
-            )
         if self.n_devices > 1 and self._sharding is None:
             if len(jax.devices()) < self.n_devices:
                 raise ValueError(
@@ -234,31 +268,78 @@ class AotServable:
                     f"only {len(jax.devices())} are visible"
                 )
             self._sharding = _batch_sharding(self.n_devices)
+        if self._sharding is not None:
+            return jax.device_put(chunk, self._sharding)
+        return jnp.asarray(chunk)
 
-        def _stage(chunk):
-            if self._sharding is not None:
-                return jax.device_put(chunk, self._sharding)
-            return jnp.asarray(chunk)
-
+    def _run_chunks(self, arrays: Tuple[np.ndarray, ...]) -> np.ndarray:
+        """Stream (array_0[i], array_1[i], ...) batches through the bucketed
+        executables: full chunks use the largest bucket, the tail pads up to
+        the smallest bucket that fits (same shape discipline as
+        ``deployment.classify_videos``). Multi-device artifacts shard every
+        chunk batch-wise over the mesh."""
         out = []
         big = self._buckets[-1]
-        n = len(clips)
+        n = len(arrays[0])
         start = 0
         while start < n:
-            chunk = clips[start : start + big]
-            m = len(chunk)
+            chunks = [a[start : start + big] for a in arrays]
+            m = len(chunks[0])
             b = self._bucket_for(m)
             if m < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - m,) + chunk.shape[1:], chunk.dtype)]
-                )
-            out.append(np.asarray(self._fns[b].call(_stage(chunk)))[:m])
+                chunks = [
+                    np.concatenate(
+                        [c, np.zeros((b - m,) + c.shape[1:], c.dtype)]
+                    )
+                    for c in chunks
+                ]
+            staged = [self._stage(c) for c in chunks]
+            out.append(np.asarray(self._fns[b].call(*staged))[:m])
             start += m
         return (
             np.concatenate(out)
             if out
             else np.zeros((0, len(self.class_names)), np.float32)
         )
+
+    def classify(self, clips: np.ndarray) -> np.ndarray:
+        """Softmax probabilities for pre-sampled (N, T, H, W, 3) f32 clips."""
+        if self.device_sampling:
+            raise ValueError(
+                "this artifact bakes in on-device sampling — feed raw clips "
+                "via classify_raw(raw, lengths)"
+            )
+        clips = np.asarray(clips, np.float32)
+        if clips.ndim != 5 or clips.shape[1:] != self.input_shape:
+            raise ValueError(
+                f"expected (N,) + {self.input_shape}, got {clips.shape}"
+            )
+        return self._run_chunks((clips,))
+
+    def classify_raw(self, raw: np.ndarray, lengths) -> np.ndarray:
+        """Softmax probabilities straight from RAGGED RAW uint8 clips.
+
+        ``raw`` is (N, raw_len, H, W, 3) uint8 (each clip's true frames
+        first, tail padding ignored); ``lengths`` the true frame counts.
+        Frame scoring + top-T selection + /255 + forward all run inside the
+        artifact's executable — the caller needs no preprocessing code."""
+        if not self.device_sampling:
+            raise ValueError(
+                "this artifact has no baked-in sampling — feed sampled "
+                "clips via classify(clips)"
+            )
+        raw = np.asarray(raw)
+        want = (self.raw_len,) + tuple(self.input_shape[1:])
+        if raw.dtype != np.uint8 or raw.ndim != 5 or raw.shape[1:] != want:
+            raise ValueError(
+                f"expected (N,) + {want} uint8, got {raw.shape} {raw.dtype}"
+            )
+        lengths = np.asarray(lengths, np.int32)
+        if lengths.shape != (len(raw),):
+            raise ValueError(
+                f"lengths must be ({len(raw)},), got {lengths.shape}"
+            )
+        return self._run_chunks((raw, lengths))
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -281,15 +362,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="shard every executable batch-wise over this many devices "
              "(serving then requires the same device count)",
     )
+    parser.add_argument(
+        "--device_sampling",
+        default=None,
+        help="bake on-device frame selection (sad|ssim|uniform|flow) into "
+             "the executables: they then take ragged raw uint8 clips + "
+             "lengths (AotServable.classify_raw)",
+    )
+    parser.add_argument(
+        "--raw_len",
+        type=int,
+        default=None,
+        help="raw frame capacity per clip for --device_sampling "
+             "(default 2x the model's T)",
+    )
     args = parser.parse_args(argv)
     batch_sizes = [int(b) for b in args.batches.split(",") if b.strip()]
     export_from_checkpoint(args.model, args.out, batch_sizes=batch_sizes,
-                           data_parallel=args.data_parallel)
+                           data_parallel=args.data_parallel,
+                           device_sampling=args.device_sampling,
+                           raw_len=args.raw_len)
     sv = AotServable.load(args.out)
     print(
         f"exported {args.out}: platform={sv.platform} "
         f"buckets={sorted(sv._fns)} devices={sv.n_devices} "
-        f"classes={sv.class_names}"
+        + (f"device_sampling={sv.device_sampling} raw_len={sv.raw_len} "
+           if sv.device_sampling else "")
+        + f"classes={sv.class_names}"
     )
     return 0
 
