@@ -149,6 +149,27 @@ def test_data_parallel_export_serves_on_mesh(tiny, tmp_path):
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
 
+    # data_parallel composes with baked-in sampling: raw uint8 + lengths
+    # both shard batch-wise over the mesh inside the executable.
+    from vct.data.preprocess import device_sample_clips
+
+    spath = str(tmp_path / "dps.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, spath,
+                    batch_sizes=(4,), data_parallel=4,
+                    device_sampling="uniform", raw_len=6)
+    svs = AotServable.load(spath)
+    raw = np.random.RandomState(5).randint(
+        0, 256, (4, 6) + SHAPE[1:], np.uint8
+    )
+    lengths = np.asarray([6, 5, 4, 6], np.int32)
+    got = svs.classify_raw(raw, lengths)
+    x = device_sample_clips(jnp.asarray(raw), SHAPE[0], method="uniform",
+                            lengths=jnp.asarray(lengths))
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, x), axis=-1)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
 
 def test_data_parallel_bucket_validation(tiny, tmp_path):
     cfg, model, variables = tiny
