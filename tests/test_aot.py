@@ -220,6 +220,17 @@ def test_device_sampling_baked_into_artifact(tiny, tmp_path):
     with pytest.raises(ValueError, match="no baked-in sampling"):
         AotServable.load(plain).classify_raw(raw, lengths)
 
+    # pre-sampled-clip consumers reject raw-contract artifacts up front
+    from vct.core.config import ServeConfig
+    from vct.serve.worker import Worker
+
+    with pytest.raises(ValueError, match="classify_raw"):
+        Worker(ServeConfig(model_path=path))
+    from vct.serve import deployment
+
+    with pytest.raises(SystemExit):
+        deployment.main(["--model", path, "--frames", str(tmp_path)])
+
 
 def test_worker_serves_from_artifact(tiny, tmp_path, monkeypatch):
     """MODEL_PATH pointing at a .vctaot file: the queue worker loads the

@@ -32,7 +32,6 @@ Usage::
 
 from __future__ import annotations
 
-import io
 import json
 import zipfile
 from typing import List, Optional, Sequence, Tuple

@@ -316,6 +316,12 @@ def main(argv=None) -> int:
         from vct.serve.aot import AotServable
 
         servable = AotServable.load(args.model)
+        if servable.device_sampling:
+            parser.error(
+                "this artifact bakes on-device sampling in (raw-input "
+                "contract, AotServable.classify_raw); the deployment CLI "
+                "feeds pre-sampled clips — export without --device_sampling"
+            )
         class_names = servable.class_names
         model = variables = cfg = None
         # The manifest records the training-time sampling so artifact

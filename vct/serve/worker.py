@@ -46,6 +46,13 @@ class Worker:
             from vct.serve.aot import AotServable
 
             self.servable = AotServable.load(cfg.model_path)
+            if self.servable.device_sampling:
+                raise ValueError(
+                    "this artifact bakes on-device sampling in (raw-input "
+                    "contract, AotServable.classify_raw); the worker feeds "
+                    "pre-sampled clips — export without --device_sampling "
+                    "for worker serving"
+                )
             self.model = self.variables = self.model_cfg = None
             self.class_names = self.servable.class_names
             art_T = self.servable.input_shape[0]
