@@ -331,3 +331,96 @@ def test_cli_export_from_checkpoint_and_deployment_serve(tiny, tmp_path):
         w.release()
     rc = deployment.main(["--model", art, "--videos", str(vids)])
     assert rc == 0
+
+
+# ---------------------------------------------------------------------------
+# Captioning artifacts: the whole beam-search pipeline in one executable
+
+
+@pytest.fixture(scope="module")
+def tiny_captioner():
+    from vct.caption.train import CaptionTrainer
+    from vct.caption.vocab import Vocabulary
+    from vct.core.config import CaptionConfig
+
+    v = Vocabulary(1)
+    v.build_vocabulary(["a man is cooking", "a dog runs fast"])
+    cfg = CaptionConfig(
+        cnn_backbone="resnet18", cnn_output_size=16, hidden_size=16,
+        num_frames=3, max_caption_len=6, beam_width=2,
+    )
+    trainer = CaptionTrainer(cfg, v)
+    videos = np.random.RandomState(0).rand(2, 3, 24, 24, 3).astype(np.float32)
+    caps = np.zeros((2, 6), np.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0), videos, caps)
+    return trainer, state, v
+
+
+def test_caption_artifact_matches_live_beam_search(tiny_captioner, tmp_path):
+    """export_caption_servable bakes encoder + beam search + vocab into one
+    file; CaptionAotServable.caption reproduces the live decode exactly."""
+    from vct.caption.beam import beam_search, decode_tokens
+    from vct.serve.aot import CaptionAotServable, export_caption_servable
+
+    trainer, state, v = tiny_captioner
+    variables = {"params": state.params, **state.extra_vars}
+    shape = (3, 24, 24, 3)
+    path = str(tmp_path / "c.vctaot")
+    export_caption_servable(
+        trainer.model, variables, v, shape, path,
+        batch_sizes=(2,), beam_width=2, max_len=6,
+    )
+    sv = CaptionAotServable.load(path)
+    assert sv.beam_width == 2 and sv.max_len == 6
+    assert len(sv.vocab) == len(v)
+
+    clips = np.random.RandomState(1).rand(3, *shape).astype(np.float32)
+    tokens, scores = sv.decode(clips)  # full bucket of 2 + padded tail of 1
+    want_t, want_s = beam_search(
+        trainer.model, variables, jnp.asarray(clips), beam_width=2, max_len=6
+    )
+    np.testing.assert_array_equal(tokens, np.asarray(want_t))
+    np.testing.assert_allclose(scores, np.asarray(want_s), atol=1e-5)
+    assert sv.caption(clips) == [
+        decode_tokens(row, v) for row in np.asarray(want_t)
+    ]
+
+    # cross-format guards both ways
+    from vct.serve.aot import AotServable
+
+    with pytest.raises(ValueError, match="CaptionAotServable"):
+        AotServable.load(path)
+    with pytest.raises(ValueError, match="geometry|expected"):
+        sv.decode(clips[:, :2])
+
+
+def test_caption_checkpoint_export_cli(tiny_captioner, tmp_path, capsys):
+    """python -m vct.serve.aot auto-detects a caption checkpoint (manifest
+    carries the vocab + config) and exports a captioning artifact."""
+    from vct.serve.aot import AotServable, CaptionAotServable, main
+
+    trainer, state, v = tiny_captioner
+    ckpt = str(tmp_path / "ck")
+    trainer.save_checkpoint(ckpt, state, epoch=0, loss=1.0)
+    art = str(tmp_path / "ck.vctaot")
+    rc = main([
+        "--model", ckpt, "--out", art, "--batches", "1",
+        "--height", "24", "--width", "24",
+    ])
+    assert rc == 0
+    assert "caption" in capsys.readouterr().out
+    sv = CaptionAotServable.load(art)
+    assert sv.input_shape == (3, 24, 24, 3)
+    assert sv.beam_width == trainer.cfg.beam_width
+    hyp = sv.caption(np.random.RandomState(2).rand(1, 3, 24, 24, 3)
+                     .astype(np.float32))
+    # the artifact path and the restored-checkpoint live path agree
+    want = trainer.caption_videos(
+        state,
+        np.random.RandomState(2).rand(1, 3, 24, 24, 3).astype(np.float32),
+    )
+    assert hyp == want
+
+    # classifier loader rejects it with a pointer to the right class
+    with pytest.raises(ValueError, match="CaptionAotServable"):
+        AotServable.load(art)

@@ -331,10 +331,16 @@ class CaptionTrainer:
             "step": jax.device_get(state.step),
         }
         _atomic_tree_save(os.path.join(path, "state"), tree)
+        # config in the manifest makes the checkpoint self-describing: the
+        # AOT exporter (vct.serve.aot) and any restore path can rebuild the
+        # exact model without replaying the training CLI flags (the
+        # classifier manifest has recorded its Config from the start).
+        import dataclasses
+
         _atomic_json_write(
             os.path.join(path, "manifest.json"),
             {"epoch": epoch, "loss": loss, "vocab": self.vocab.to_dict(),
-             **(extra or {})},
+             "config": dataclasses.asdict(self.cfg), **(extra or {})},
         )
         print(f"Checkpoint saved at epoch {epoch}")
 

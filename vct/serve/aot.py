@@ -38,10 +38,15 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["export_servable", "export_from_checkpoint", "AotServable", "main"]
+__all__ = [
+    "export_servable", "export_from_checkpoint", "AotServable",
+    "export_caption_servable", "export_from_caption_checkpoint",
+    "CaptionAotServable", "main",
+]
 
 _MANIFEST = "manifest.json"
 _FORMAT = "vct-aot-v1"
+_CAPTION_FORMAT = "vct-aot-caption-v1"
 
 
 def _batch_sharding(n_dev: int):
@@ -200,6 +205,132 @@ def export_from_checkpoint(
     )
 
 
+def export_caption_servable(
+    model,
+    variables,
+    vocab,
+    input_shape: Tuple[int, int, int, int],
+    path: str,
+    batch_sizes: Sequence[int] = (1, 8),
+    beam_width: int = 3,
+    max_len: int = 30,
+) -> None:
+    """Serialize the FULL captioning pipeline per batch bucket: CNN features
+    -> encoder -> jitted beam search, weights baked in as constants.
+
+    The reference's captioning deploy story is ``torch.load`` of the whole
+    model plus a host-Python beam loop (``s2vt/beam_search.py:384-436``);
+    here the entire decode — encoder, per-step decoder, top-k pruning — is
+    ONE serialized StableHLO executable per bucket. The vocabulary travels
+    in the manifest, so a ``CaptionAotServable`` turns (B, T, H, W, 3)
+    float32 clips into word lists with zero model-zoo code in the path.
+
+    ``beam_width``/``max_len`` are baked in (they shape the compiled loop);
+    export another artifact to change them. Works for every captioner family
+    ``vct.caption.beam.beam_search`` supports (s2vt, v1_lstm/gru,
+    transformer).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jex
+
+    from vct.caption.beam import beam_search
+
+    if beam_width < 1:
+        raise ValueError(f"beam_width must be >= 1, got {beam_width}")
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+
+    def forward(video):
+        return beam_search(
+            model, variables, video, beam_width=beam_width, max_len=max_len
+        )
+
+    fwd = jax.jit(forward)
+    blobs = {}
+    for b in sorted(set(int(b) for b in batch_sizes)):
+        if b <= 0:
+            raise ValueError(f"batch sizes must be positive, got {b}")
+        spec = jax.ShapeDtypeStruct((b,) + tuple(input_shape), jnp.float32)
+        exported = jex.export(fwd)(spec)
+        blobs[b] = exported.serialize()
+
+    manifest = {
+        "format": _CAPTION_FORMAT,
+        "vocab": vocab.to_dict(),
+        "input_shape": list(input_shape),
+        "batch_sizes": sorted(blobs),
+        "beam_width": int(beam_width),
+        "max_len": int(max_len),
+        "start_token": 1,
+        "end_token": 2,
+        "pad_token": 0,
+        "platform": jex.default_export_platform(),
+        "jax_version": jax.__version__,
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_MANIFEST, json.dumps(manifest, indent=2))
+        for b, blob in blobs.items():
+            zf.writestr(f"batch_{b}.stablehlo", blob)
+
+
+def export_from_caption_checkpoint(
+    ckpt_dir: str,
+    path: str,
+    batch_sizes: Sequence[int] = (1, 8),
+    beam_width: Optional[int] = None,
+    max_len: Optional[int] = None,
+    height: int = 224,
+    width: int = 224,
+) -> None:
+    """Build a caption artifact straight from a ``CaptionTrainer`` checkpoint.
+
+    The checkpoint manifest is self-describing (config + vocab recorded at
+    save time); ``height``/``width`` fix the frame geometry to bake in (the
+    reference's caption pipeline is 224x224, ``s2vt/beam_search.py:143-180``
+    — CaptionConfig carries no image size, the dataset does).
+    """
+    import os
+
+    import jax
+    import numpy as np
+
+    from vct.caption.train import CaptionTrainer
+    from vct.caption.vocab import Vocabulary
+    from vct.core.config import CaptionConfig
+
+    with open(os.path.join(ckpt_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if "config" not in manifest:
+        raise ValueError(
+            f"{ckpt_dir}: caption checkpoint manifest has no 'config' "
+            "(saved by an older vct) — re-save a checkpoint with the "
+            "current trainer, or export via export_caption_servable()"
+        )
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(CaptionConfig)}
+    cfg = CaptionConfig(
+        **{k: v for k, v in manifest["config"].items() if k in known}
+    )
+    vocab = Vocabulary.from_dict(manifest["vocab"])
+    trainer = CaptionTrainer(cfg, vocab)
+    sample_v = np.zeros((1, cfg.num_frames, height, width, 3), np.float32)
+    sample_c = np.zeros((1, cfg.max_caption_len), np.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample_v, sample_c)
+    state, _, _ = trainer.load_checkpoint(ckpt_dir, state)
+    export_caption_servable(
+        trainer.model,
+        {"params": state.params, **state.extra_vars},
+        trainer.vocab,
+        (cfg.num_frames, height, width, 3),
+        path,
+        batch_sizes=batch_sizes,
+        beam_width=beam_width if beam_width is not None else cfg.beam_width,
+        max_len=max_len if max_len is not None else cfg.max_caption_len,
+    )
+
+
 class AotServable:
     """A loaded artifact: per-bucket compiled forwards + the label manifest."""
 
@@ -221,6 +352,11 @@ class AotServable:
 
         with zipfile.ZipFile(path) as zf:
             manifest = json.loads(zf.read(_MANIFEST))
+            if manifest.get("format") == _CAPTION_FORMAT:
+                raise ValueError(
+                    f"{path} is a captioning artifact — load it with "
+                    "CaptionAotServable.load"
+                )
             if manifest.get("format") != _FORMAT:
                 raise ValueError(
                     f"{path}: not a {_FORMAT} artifact "
@@ -341,6 +477,99 @@ class AotServable:
         return self._run_chunks((raw, lengths))
 
 
+class CaptionAotServable:
+    """A loaded captioning artifact: per-bucket compiled beam searches plus
+    the vocabulary — clips in, word lists out, no model zoo in the path."""
+
+    def __init__(self, manifest: dict, fns: dict):
+        self.input_shape = tuple(manifest["input_shape"])
+        self.platform: str = manifest["platform"]
+        self.beam_width: int = int(manifest["beam_width"])
+        self.max_len: int = int(manifest["max_len"])
+        self.start_token: int = int(manifest["start_token"])
+        self.end_token: int = int(manifest["end_token"])
+        self.pad_token: int = int(manifest["pad_token"])
+        from vct.caption.vocab import Vocabulary
+
+        self.vocab = Vocabulary.from_dict(manifest["vocab"])
+        self._fns = fns
+        self._buckets = sorted(fns)
+
+    @classmethod
+    def load(cls, path: str) -> "CaptionAotServable":
+        from jax import export as jex
+
+        with zipfile.ZipFile(path) as zf:
+            manifest = json.loads(zf.read(_MANIFEST))
+            if manifest.get("format") == _FORMAT:
+                raise ValueError(
+                    f"{path} is a classification artifact — load it with "
+                    "AotServable.load"
+                )
+            if manifest.get("format") != _CAPTION_FORMAT:
+                raise ValueError(
+                    f"{path}: not a {_CAPTION_FORMAT} artifact "
+                    f"(format={manifest.get('format')!r})"
+                )
+            fns = {
+                b: jex.deserialize(bytearray(zf.read(f"batch_{b}.stablehlo")))
+                for b in manifest["batch_sizes"]
+            }
+        sv = cls(manifest, fns)
+        # Same per-platform contract as the classifier artifact.
+        AotServable.check_platform(sv)
+        return sv
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if b >= n:
+                return b
+        return self._buckets[-1]
+
+    def decode(self, clips: np.ndarray):
+        """(tokens (N, max_len+1) int32 incl. leading <start>, scores (N,))
+        for pre-sampled (N, T, H, W, 3) float32 clips in [0, 1]."""
+        clips = np.asarray(clips, np.float32)
+        if clips.ndim != 5 or clips.shape[1:] != self.input_shape:
+            raise ValueError(
+                f"expected (N,) + {self.input_shape}, got {clips.shape}"
+            )
+        import jax.numpy as jnp
+
+        toks, scs = [], []
+        big = self._buckets[-1]
+        start = 0
+        while start < len(clips):
+            chunk = clips[start : start + big]
+            m = len(chunk)
+            b = self._bucket_for(m)
+            if m < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - m,) + chunk.shape[1:], chunk.dtype)]
+                )
+            t, s = self._fns[b].call(jnp.asarray(chunk))
+            toks.append(np.asarray(t)[:m])
+            scs.append(np.asarray(s)[:m])
+            start += m
+        if not toks:
+            return (
+                np.zeros((0, self.max_len + 1), np.int32),
+                np.zeros((0,), np.float32),
+            )
+        return np.concatenate(toks), np.concatenate(scs)
+
+    def caption(self, clips: np.ndarray) -> List[List[str]]:
+        """Word lists for (N, T, H, W, 3) float32 clips in [0, 1]."""
+        from vct.caption.beam import decode_tokens
+
+        tokens, _ = self.decode(clips)
+        return [
+            decode_tokens(row, self.vocab, self.start_token, self.end_token,
+                          self.pad_token)
+            for row in tokens
+        ]
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
 
@@ -375,8 +604,56 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="raw frame capacity per clip for --device_sampling "
              "(default 2x the model's T)",
     )
+    parser.add_argument(
+        "--beam_width", type=int, default=None,
+        help="caption checkpoints only: beam width to bake in "
+             "(default: the checkpoint config's)",
+    )
+    parser.add_argument(
+        "--max_len", type=int, default=None,
+        help="caption checkpoints only: max caption length to bake in",
+    )
+    parser.add_argument(
+        "--height", type=int, default=224,
+        help="caption checkpoints only: frame height to bake in "
+             "(the reference caption pipeline is 224)",
+    )
+    parser.add_argument(
+        "--width", type=int, default=224,
+        help="caption checkpoints only: frame width to bake in",
+    )
     args = parser.parse_args(argv)
     batch_sizes = [int(b) for b in args.batches.split(",") if b.strip()]
+
+    # A caption checkpoint manifest carries the vocab; a classifier one
+    # carries class_names — dispatch on that, no flag needed.
+    import os
+
+    manifest_path = os.path.join(args.model, _MANIFEST)
+    is_caption = False
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as f:
+            is_caption = "vocab" in json.load(f)
+
+    if is_caption:
+        if args.data_parallel != 1 or args.device_sampling:
+            parser.error(
+                "--data_parallel/--device_sampling apply to classifier "
+                "artifacts only"
+            )
+        export_from_caption_checkpoint(
+            args.model, args.out, batch_sizes=batch_sizes,
+            beam_width=args.beam_width, max_len=args.max_len,
+            height=args.height, width=args.width,
+        )
+        csv = CaptionAotServable.load(args.out)
+        print(
+            f"exported {args.out}: caption platform={csv.platform} "
+            f"buckets={sorted(csv._fns)} beam_width={csv.beam_width} "
+            f"max_len={csv.max_len} vocab={len(csv.vocab)} words"
+        )
+        return 0
+
     export_from_checkpoint(args.model, args.out, batch_sizes=batch_sizes,
                            data_parallel=args.data_parallel,
                            device_sampling=args.device_sampling,
