@@ -1,0 +1,89 @@
+"""Caption inference CLI/API (vct/caption/infer.py): checkpoint dir and
+.vctaot artifact both caption a directory of videos with the reference's
+``Generated Caption:`` print (s2vt/beam_search.py:552-570)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from vct.caption.train import CaptionTrainer
+from vct.caption.vocab import Vocabulary
+from vct.core.config import CaptionConfig
+
+SIZE = 24
+
+
+def _write_videos(dirpath, n, frames=4, size=SIZE):
+    cv2 = pytest.importorskip("cv2")
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        w = cv2.VideoWriter(
+            os.path.join(dirpath, f"vid{i}.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (size, size),
+        )
+        for _ in range(frames):
+            w.write(rng.randint(0, 256, (size, size, 3), np.uint8))
+        w.release()
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    v = Vocabulary(1)
+    v.build_vocabulary(["a man is cooking", "a dog runs fast"])
+    cfg = CaptionConfig(
+        cnn_backbone="resnet18", cnn_output_size=16, hidden_size=16,
+        num_frames=3, max_caption_len=6, beam_width=2,
+    )
+    trainer = CaptionTrainer(cfg, v)
+    vids = np.random.RandomState(0).rand(1, 3, SIZE, SIZE, 3).astype(np.float32)
+    caps = np.zeros((1, 6), np.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0), vids, caps)
+    path = str(tmp_path_factory.mktemp("capinfer") / "ck")
+    trainer.save_checkpoint(path, state, epoch=0, loss=1.0)
+    return path
+
+
+def test_checkpoint_and_artifact_agree(ckpt_dir, tmp_path, capsys):
+    from vct.caption.infer import caption_directory
+    from vct.serve.aot import export_from_caption_checkpoint
+
+    vids = tmp_path / "vids"
+    _write_videos(str(vids), 3)
+    # a junk file is skipped, not fatal (defensive-skip style)
+    (vids / "broken.mp4").write_bytes(b"not a video")
+
+    got = caption_directory(ckpt_dir, str(vids), height=SIZE, width=SIZE)
+    out = capsys.readouterr().out
+    assert len(got) == 3
+    assert out.count("Generated Caption:") == 3
+    assert "Error processing broken.mp4" in out
+
+    art = str(tmp_path / "c.vctaot")
+    export_from_caption_checkpoint(
+        ckpt_dir, art, batch_sizes=(1, 2), height=SIZE, width=SIZE
+    )
+    got_art = caption_directory(art, str(vids))
+    assert got_art == got  # artifact path == live checkpoint path
+
+
+def test_cli_caption_videos_mode(ckpt_dir, tmp_path, capsys):
+    from vct.caption.__main__ import main
+
+    vids = tmp_path / "v2"
+    _write_videos(str(vids), 2)
+    rc = main([
+        "--caption_videos", str(vids), "--model", ckpt_dir,
+        "--height", str(SIZE), "--width", str(SIZE),
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.count("Generated Caption:") == 2
+
+
+def test_cli_caption_videos_requires_model(tmp_path):
+    from vct.caption.__main__ import main
+
+    assert main(["--caption_videos", str(tmp_path)]) == 2

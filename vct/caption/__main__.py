@@ -45,6 +45,33 @@ def main(argv=None) -> int:
     do_eval = has("--eval")
     video_dir = grab("--video_dir")
     annotations_path = grab("--annotations")
+
+    # Inference mode: caption a directory of videos from a trained
+    # checkpoint or a .vctaot caption artifact (beam_search.py:552-570's
+    # "Generated Caption:" loop as a CLI).
+    caption_videos_dir = grab("--caption_videos")
+    if caption_videos_dir is not None:
+        model_path = grab("--model")
+        beam = grab("--beam_width")
+        video_ext = grab("--video_ext")
+        height = int(grab("--height", 224))
+        width = int(grab("--width", 224))
+        if argv:
+            print(f"Unknown arguments: {argv}")
+            return 2
+        if not model_path:
+            print("usage: python -m vct.caption --caption_videos DIR "
+                  "--model CKPT_OR_VCTAOT [--beam_width K] [--video_ext "
+                  ".mp4] [--height 224] [--width 224]")
+            return 2
+        from vct.caption.infer import caption_directory
+
+        caption_directory(
+            model_path, caption_videos_dir,
+            beam_width=int(beam) if beam else None,
+            video_ext=video_ext, height=height, width=width,
+        )
+        return 0
     cfg = CaptionConfig(
         model_kind=grab("--model_kind", "s2vt"),
         cnn_backbone=grab("--backbone", "resnet50"),
