@@ -209,11 +209,27 @@ def test_device_sampling_baked_into_artifact(tiny, tmp_path):
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
 
-    # contract guards: wrong entry point, wrong geometry
+    # contract guards: wrong entry point, wrong geometry, bad length VALUES
+    # (the executable's gather clamps out-of-range indices, so an unguarded
+    # lengths > raw_len would silently classify padding frames)
     with pytest.raises(ValueError, match="classify_raw"):
         sv.classify(np.zeros((1,) + SHAPE, np.float32))
     with pytest.raises(ValueError, match="uint8"):
         sv.classify_raw(raw.astype(np.float32), lengths)
+    with pytest.raises(ValueError, match="raw_len"):
+        sv.classify_raw(raw, np.asarray([7, 5, 20], np.int32))
+    with pytest.raises(ValueError, match="raw_len"):
+        sv.classify_raw(raw, np.asarray([7, 0, 4], np.int32))
+    # raw_len is a device_sampling knob; raw_len=0 must error, not silently
+    # fall back to the 2T default
+    with pytest.raises(ValueError, match="raw_len"):
+        export_servable(model, variables, list("abcd"), SHAPE,
+                        str(tmp_path / "x.vctaot"), batch_sizes=(1,),
+                        device_sampling="sad", raw_len=0)
+    with pytest.raises(ValueError, match="raw_len"):
+        export_servable(model, variables, list("abcd"), SHAPE,
+                        str(tmp_path / "x.vctaot"), batch_sizes=(1,),
+                        raw_len=7)
     plain = str(tmp_path / "p.vctaot")
     export_servable(model, variables, list("abcd"), SHAPE, plain,
                     batch_sizes=(1,))
@@ -424,3 +440,96 @@ def test_caption_checkpoint_export_cli(tiny_captioner, tmp_path, capsys):
     # classifier loader rejects it with a pointer to the right class
     with pytest.raises(ValueError, match="CaptionAotServable"):
         AotServable.load(art)
+
+
+def test_caption_raw_artifact_device_interval_sampling(tiny_captioner, tmp_path):
+    """device_sampling bakes the caption pipeline's interval selection
+    (stride true_len//T, LAST-frame padding — s2vt/beam_search.py:143-180)
+    into the executable: caption_raw(raw, lengths) == the live beam search
+    over host-interval-sampled clips."""
+    from vct.caption.beam import beam_search, decode_tokens
+    from vct.serve.aot import CaptionAotServable, export_caption_servable
+
+    trainer, state, v = tiny_captioner
+    variables = {"params": state.params, **state.extra_vars}
+    T = 3
+    shape = (T, 24, 24, 3)
+    path = str(tmp_path / "raw.vctaot")
+    export_caption_servable(
+        trainer.model, variables, v, shape, path,
+        batch_sizes=(3,), beam_width=2, max_len=6,
+        device_sampling=True, raw_len=8,
+    )
+    sv = CaptionAotServable.load(path)
+    assert sv.device_sampling and sv.raw_len == 8
+
+    rng = np.random.RandomState(3)
+    raw = rng.randint(0, 256, (3, 8, 24, 24, 3), np.uint8)
+    lengths = np.asarray([8, 5, 2], np.int32)  # long / mid / shorter than T
+    got = sv.caption_raw(raw, lengths)
+
+    # host model of extract_frames_interval: stride total//T when long,
+    # last-frame padding when short
+    clips = []
+    for clip, n in zip(raw, lengths):
+        idx = ((n // T) * np.arange(T) if n >= T
+               else np.minimum(np.arange(T), n - 1))
+        clips.append(clip[idx].astype(np.float32) / 255.0)
+    want_t, _ = beam_search(
+        trainer.model, variables, jnp.asarray(np.stack(clips)),
+        beam_width=2, max_len=6,
+    )
+    assert got == [decode_tokens(row, v) for row in np.asarray(want_t)]
+
+    # contract guards both ways + value validation
+    with pytest.raises(ValueError, match="caption_raw"):
+        sv.decode(np.stack(clips))
+    with pytest.raises(ValueError, match="raw_len"):
+        sv.caption_raw(raw, np.asarray([8, 9, 2], np.int32))
+    with pytest.raises(ValueError, match="uint8"):
+        sv.caption_raw(raw.astype(np.float32), lengths)
+    plain = str(tmp_path / "plain.vctaot")
+    export_caption_servable(
+        trainer.model, variables, v, shape, plain,
+        batch_sizes=(1,), beam_width=2, max_len=6,
+    )
+    with pytest.raises(ValueError, match="decode/caption"):
+        CaptionAotServable.load(plain).caption_raw(raw, lengths)
+    # raw_len knob validation mirrors the classifier exporter
+    with pytest.raises(ValueError, match="raw_len"):
+        export_caption_servable(
+            trainer.model, variables, v, shape, str(tmp_path / "x.vctaot"),
+            batch_sizes=(1,), beam_width=2, max_len=6, raw_len=8,
+        )
+    with pytest.raises(ValueError, match="raw_len"):
+        export_caption_servable(
+            trainer.model, variables, v, shape, str(tmp_path / "x.vctaot"),
+            batch_sizes=(1,), beam_width=2, max_len=6,
+            device_sampling=True, raw_len=T,
+        )
+
+
+def test_caption_raw_export_cli(tiny_captioner, tmp_path, capsys):
+    """--device_sampling interval on a caption checkpoint bakes the raw
+    contract in; classifier-only selection methods are rejected."""
+    from vct.serve.aot import CaptionAotServable, main
+
+    trainer, state, v = tiny_captioner
+    ckpt = str(tmp_path / "ck")
+    trainer.save_checkpoint(ckpt, state, epoch=0, loss=1.0)
+    art = str(tmp_path / "raw.vctaot")
+    rc = main([
+        "--model", ckpt, "--out", art, "--batches", "1",
+        "--height", "24", "--width", "24",
+        "--device_sampling", "interval", "--raw_len", "7",
+    ])
+    assert rc == 0
+    assert "device_sampling=interval raw_len=7" in capsys.readouterr().out
+    sv = CaptionAotServable.load(art)
+    assert sv.device_sampling and sv.raw_len == 7
+
+    with pytest.raises(SystemExit):
+        main(["--model", ckpt, "--out", art, "--batches", "1",
+              "--device_sampling", "sad"])
+    err = capsys.readouterr().err
+    assert "interval only" in err

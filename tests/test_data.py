@@ -182,6 +182,30 @@ class TestDeviceSamplers:
             want = (real[[0, 1, 2, 0, 1]].astype(np.float32)) / 255.0
             np.testing.assert_allclose(out[0], want, atol=1e-6)
 
+    def test_device_sampling_short_pad_last(self):
+        """short_pad='last' repeats the final real frame — the caption
+        pipeline's extract_frames padding (s2vt/beam_search.py:176-180) —
+        while long clips keep the interval stride."""
+        import jax.numpy as jnp
+
+        from vct.data.preprocess import device_sample_clips
+
+        rng = np.random.RandomState(1)
+        raw = rng.randint(0, 256, (2, 8, 4, 4, 3), np.uint8)
+        out = np.asarray(device_sample_clips(
+            jnp.asarray(raw), 3, method="uniform",
+            lengths=jnp.asarray([3 - 1, 8]), short_pad="last",
+        ))
+        # clip 0: 2 real frames -> [0, 1, 1]; clip 1: stride 8//3=2 -> [0,2,4]
+        np.testing.assert_allclose(
+            out[0], raw[0, [0, 1, 1]].astype(np.float32) / 255.0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            out[1], raw[1, [0, 2, 4]].astype(np.float32) / 255.0, atol=1e-6
+        )
+        with pytest.raises(ValueError, match="short_pad"):
+            device_sample_clips(jnp.asarray(raw), 3, short_pad="zero")
+
 
 @pytest.fixture(scope="module")
 def video_dataset_dir(tmp_path_factory):

@@ -401,6 +401,40 @@ class TestCheckpointAtomicity:
         state, epoch, _ = load_train_state(path, sentinel)
         assert state is sentinel and epoch == 0
 
+    def test_relative_path_train_state_roundtrip(self, tmp_path, monkeypatch):
+        """Orbax requires absolute paths: a relative --model_path must still
+        save AND resume (an unfixed restore error would be swallowed into
+        'starting from epoch 0' — silent retraining instead of resume)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vct.core.config import Config
+        from vct.train.checkpoint import load_train_state, save_train_state
+
+        class S:
+            def __init__(self):
+                self.params = {"w": jnp.ones((2,))}
+                self.extra_vars = {}
+                self.opt_state = {"m": jnp.zeros((2,))}
+                self.rng = jax.random.PRNGKey(3)
+                self.step = jnp.asarray(7)
+
+            def replace(self, **kw):
+                s = S()
+                s.__dict__.update(self.__dict__)
+                s.__dict__.update(kw)
+                return s
+
+        monkeypatch.chdir(tmp_path)
+        s = S()
+        s.params = {"w": jnp.asarray([2.5, 3.5])}
+        save_train_state("relck", s, Config(), ["a"], epoch=4)
+        restored, epoch, _ = load_train_state("relck", S())
+        assert epoch == 4
+        np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                                   [2.5, 3.5])
+
     def test_save_twice_and_reload(self, tmp_path):
         """Repeated saves swap atomically and leave no tmp/old litter."""
         import os as _os

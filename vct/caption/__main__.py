@@ -41,21 +41,19 @@ def main(argv=None) -> int:
             return True
         return False
 
-    synthetic = has("--synthetic")
-    do_eval = has("--eval")
-    video_dir = grab("--video_dir")
-    annotations_path = grab("--annotations")
-
     # Inference mode: caption a directory of videos from a trained
     # checkpoint or a .vctaot caption artifact (beam_search.py:552-570's
-    # "Generated Caption:" loop as a CLI).
+    # "Generated Caption:" loop as a CLI). Branches FIRST, before any
+    # training flag is consumed, so a stray --eval/--video_dir/... in this
+    # mode is rejected by the unknown-arguments check below rather than
+    # silently swallowed.
     caption_videos_dir = grab("--caption_videos")
     if caption_videos_dir is not None:
         model_path = grab("--model")
         beam = grab("--beam_width")
         video_ext = grab("--video_ext")
-        height = int(grab("--height", 224))
-        width = int(grab("--width", 224))
+        height = grab("--height")
+        width = grab("--width")
         if argv:
             print(f"Unknown arguments: {argv}")
             return 2
@@ -69,9 +67,16 @@ def main(argv=None) -> int:
         caption_directory(
             model_path, caption_videos_dir,
             beam_width=int(beam) if beam else None,
-            video_ext=video_ext, height=height, width=width,
+            video_ext=video_ext,
+            height=int(height) if height else None,
+            width=int(width) if width else None,
         )
         return 0
+
+    synthetic = has("--synthetic")
+    do_eval = has("--eval")
+    video_dir = grab("--video_dir")
+    annotations_path = grab("--annotations")
     cfg = CaptionConfig(
         model_kind=grab("--model_kind", "s2vt"),
         cnn_backbone=grab("--backbone", "resnet50"),

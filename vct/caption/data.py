@@ -20,6 +20,7 @@ __all__ = [
     "preprocess_annotations",
     "encode_caption",
     "extract_frames_interval",
+    "extract_frames_raw",
     "load_caption_dataset",
     "CaptionArrayLoader",
     "LazyCaptionLoader",
@@ -96,6 +97,32 @@ def extract_frames_interval(
         frames.append(frames[-1])
     clip = np.stack(frames)
     return clip if as_uint8 else clip.astype(np.float32) / 255.0
+
+
+def extract_frames_raw(
+    path: str, max_frames: int, size: int = 224
+) -> np.ndarray:
+    """Every frame (up to ``max_frames``), resized, raw uint8
+    (L, size, size, 3) — the host half of the caption raw-artifact contract
+    (``CaptionAotServable.caption_raw``): interval selection + /255 run on
+    device, so the host only decodes and resizes. Videos longer than
+    ``max_frames`` truncate to the artifact's raw capacity (the baked
+    interval is then computed over the first ``max_frames`` frames)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"Could not open video file {path}")
+    frames = []
+    while len(frames) < max_frames:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frames.append(cv2.resize(frame, (size, size)))
+    cap.release()
+    if not frames:
+        raise ValueError(f"No frames found in {path}")
+    return np.stack(frames)
 
 
 def load_caption_dataset(

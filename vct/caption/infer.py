@@ -33,18 +33,45 @@ def _list_videos(video_dir: str, video_ext: Optional[str]) -> List[str]:
 
 def _decode_chunk(paths: List[str], num_frames: int, size: int):
     """(clips f32 [0,1], kept paths) — unreadable files skip with a print
-    (the reference's defensive-skip style, loader_data.py:301-303)."""
+    (the reference's defensive-skip style, loader_data.py:301-303).
+
+    Only per-file decode failures are skipped; systemic errors (cv2 missing,
+    OOM, Ctrl-C) propagate — otherwise a broken host prints one error per
+    video and the CLI exits 0 having captioned nothing.
+    """
     from vct.caption.data import extract_frames_interval
 
     clips, kept = [], []
     for p in paths:
         try:
             clips.append(extract_frames_interval(p, num_frames, size))
-        except Exception as e:
+        except (ValueError, OSError, RuntimeError) as e:
             print(f"Error processing {os.path.basename(p)}: {e}")
             continue
         kept.append(p)
     return clips, kept
+
+
+def _decode_chunk_raw(paths: List[str], raw_len: int, size: int):
+    """(raw uint8 clips padded to raw_len, true lengths, kept paths) — the
+    host half of the caption raw-artifact contract; same defensive-skip
+    discipline as ``_decode_chunk``."""
+    from vct.caption.data import extract_frames_raw
+
+    raws, lens, kept = [], [], []
+    for p in paths:
+        try:
+            fr = extract_frames_raw(p, raw_len, size)
+        except (ValueError, OSError, RuntimeError) as e:
+            print(f"Error processing {os.path.basename(p)}: {e}")
+            continue
+        lens.append(len(fr))
+        if len(fr) < raw_len:
+            pad = np.zeros((raw_len - len(fr), size, size, 3), np.uint8)
+            fr = np.concatenate([fr, pad])
+        raws.append(fr)
+        kept.append(p)
+    return raws, lens, kept
 
 
 def caption_directory(
@@ -52,8 +79,8 @@ def caption_directory(
     video_dir: str,
     beam_width: Optional[int] = None,
     video_ext: Optional[str] = None,
-    height: int = 224,
-    width: int = 224,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
     chunk: int = 8,
 ) -> List[Tuple[str, str]]:
     """Caption every video in ``video_dir``; returns [(path, caption), ...]
@@ -61,8 +88,11 @@ def caption_directory(
 
     ``model_path`` is a caption checkpoint directory (self-describing
     manifest: config + vocab) or a ``.vctaot`` caption artifact. Artifacts
-    bake their geometry and beam width in, so ``height``/``width``/
-    ``beam_width`` apply to the checkpoint path only.
+    bake their geometry and beam width into the compiled executable, so for
+    an artifact an explicit ``height``/``width``/``beam_width`` that differs
+    from what was baked is an error (re-export to change them), never a
+    silent ignore. For a checkpoint, geometry defaults to the reference's
+    224x224 caption pipeline.
     """
     paths = _list_videos(video_dir, video_ext)
     if not paths:
@@ -70,68 +100,85 @@ def caption_directory(
             f"no videos matching {video_ext or VIDEO_EXTS} in {video_dir}"
         )
 
+    if not os.path.exists(model_path):
+        raise FileNotFoundError(
+            f"{model_path}: no such file or directory (expected a caption "
+            "checkpoint directory or a .vctaot caption artifact)"
+        )
     if os.path.isfile(model_path):  # a .vctaot caption artifact
         from vct.serve.aot import CaptionAotServable
 
         sv = CaptionAotServable.load(model_path)
         T, H, W, _ = sv.input_shape
+        if beam_width is not None and beam_width != sv.beam_width:
+            raise ValueError(
+                f"beam_width={beam_width} but the artifact bakes in "
+                f"beam_width={sv.beam_width}; re-export the artifact to "
+                "change it (python -m vct.serve.aot --beam_width ...)"
+            )
+        for name, got, baked in (("height", height, H), ("width", width, W)):
+            if got is not None and got != baked:
+                raise ValueError(
+                    f"{name}={got} but the artifact bakes in {name}={baked}; "
+                    "re-export the artifact to change the geometry"
+                )
         if H != W:
             raise ValueError(
                 f"artifact geometry {H}x{W} is not square; the host frame "
                 "extractor (extract_frames_interval) resizes square"
             )
 
-        def decode_words(clips: np.ndarray) -> List[List[str]]:
-            return sv.caption(clips)
+        if sv.device_sampling:
+            # Raw contract: the artifact bakes interval selection in, so
+            # the host only decodes + resizes; selection + /255 + beam
+            # search run inside the executable.
+            def caption_chunk(chunk_paths: List[str]):
+                raws, lens, kept = _decode_chunk_raw(
+                    chunk_paths, sv.raw_len, H
+                )
+                if not raws:
+                    return [], []
+                return sv.caption_raw(np.stack(raws), lens), kept
 
-        num_frames, size = T, H
+        else:
+
+            def caption_chunk(chunk_paths: List[str]):
+                clips, kept = _decode_chunk(chunk_paths, T, H)
+                if not clips:
+                    return [], []
+                return sv.caption(np.stack(clips)), kept
+
     else:
-        import json
+        from vct.caption.train import restore_caption_trainer
 
-        import jax
-
-        from vct.caption.train import CaptionTrainer
-        from vct.caption.vocab import Vocabulary
-        from vct.core.config import CaptionConfig
-
-        with open(os.path.join(model_path, "manifest.json")) as f:
-            manifest = json.load(f)
-        if "config" not in manifest:
-            raise ValueError(
-                f"{model_path}: caption checkpoint manifest has no 'config' "
-                "(saved by an older vct) — re-save with the current trainer"
-            )
-        import dataclasses
-
-        known = {f.name for f in dataclasses.fields(CaptionConfig)}
-        cfg = CaptionConfig(
-            **{k: v for k, v in manifest["config"].items() if k in known}
-        )
-        vocab = Vocabulary.from_dict(manifest["vocab"])
-        trainer = CaptionTrainer(cfg, vocab)
+        height = 224 if height is None else height
+        width = 224 if width is None else width
         if height != width:
             raise ValueError(
                 f"geometry {height}x{width} is not square; the host frame "
                 "extractor (extract_frames_interval) resizes square"
             )
-        sample_v = np.zeros((1, cfg.num_frames, height, width, 3), np.float32)
-        sample_c = np.zeros((1, cfg.max_caption_len), np.int32)
-        state = trainer.init_state(jax.random.PRNGKey(0), sample_v, sample_c)
-        state, _, _ = trainer.load_checkpoint(model_path, state)
+        trainer, state, cfg = restore_caption_trainer(
+            model_path, height=height, width=width
+        )
+        num_frames = cfg.num_frames
+        ck_size = height
 
-        def decode_words(clips: np.ndarray) -> List[List[str]]:
-            return trainer.caption_videos(state, clips, beam_width=beam_width)
-
-        num_frames, size = cfg.num_frames, height
+        def caption_chunk(chunk_paths: List[str]):
+            clips, kept = _decode_chunk(chunk_paths, num_frames, ck_size)
+            if not clips:
+                return [], []
+            return (
+                trainer.caption_videos(
+                    state, np.stack(clips), beam_width=beam_width
+                ),
+                kept,
+            )
 
     results: List[Tuple[str, str]] = []
     for start in range(0, len(paths), chunk):
-        clips, kept = _decode_chunk(
-            paths[start : start + chunk], num_frames, size
-        )
-        if not clips:
-            continue
-        for p, words in zip(kept, decode_words(np.stack(clips))):
+        word_lists, kept = caption_chunk(paths[start : start + chunk])
+        for p, words in zip(kept, word_lists):
             text = " ".join(words)
             print(f"{os.path.basename(p)} Generated Caption: {text}")
             results.append((p, text))

@@ -27,7 +27,8 @@ from vct.caption.models import S2VTModel
 from vct.caption.vocab import Vocabulary
 from vct.core.config import CaptionConfig
 
-__all__ = ["CaptionTrainer", "CaptionState", "build_captioner"]
+__all__ = ["CaptionTrainer", "CaptionState", "build_captioner",
+           "restore_caption_trainer"]
 
 PAD_ID = 0
 
@@ -319,6 +320,7 @@ class CaptionTrainer:
         # previous complete checkpoint, never a manifest pointing at nothing.
         from vct.train.checkpoint import _atomic_json_write, _atomic_tree_save
 
+        path = os.path.abspath(path)  # Orbax requires absolute paths
         os.makedirs(path, exist_ok=True)
         # rng + step included so a resumed run continues the dropout stream
         # exactly where the crash left it (engine-grade resume: a resumed
@@ -352,6 +354,7 @@ class CaptionTrainer:
         from vct.caption.vocab import Vocabulary
         from vct.train.checkpoint import _recover_checkpoint_dir
 
+        path = os.path.abspath(path)  # Orbax requires absolute paths
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
         # The checkpointed weights are only meaningful against the vocab
@@ -370,12 +373,17 @@ class CaptionTrainer:
         }
         try:
             tree = ckpt.restore(os.path.join(path, "state"), target)
-        except Exception:
+        except Exception as e:
             # Legacy checkpoints (saved before rng/step were added to the
             # tree): restore the keys that exist and keep the fresh state's
             # rng/step — an automatic resume must not become a hard crash
             # on upgrade. The resumed run then matches the legacy resume
             # semantics (dropout stream restarts), not bit-exact replay.
+            # Only a genuine tree-structure mismatch takes this path;
+            # anything else (unreadable dir, corrupt arrays) re-raises
+            # rather than being misreported as a legacy checkpoint.
+            if "do not match" not in str(e):
+                raise
             legacy = {k: target[k]
                       for k in ("params", "extra_vars", "opt_state")}
             tree = ckpt.restore(os.path.join(path, "state"), legacy)
@@ -462,3 +470,37 @@ class CaptionTrainer:
             print(f"Average BLEU score: {avg:.4f}")
             print(f"inference_duration: {time.time() - start:.4f}")
         return avg
+
+
+def restore_caption_trainer(
+    ckpt_dir: str, height: int = 224, width: int = 224
+) -> Tuple["CaptionTrainer", CaptionState, CaptionConfig]:
+    """(trainer, restored state, config) from a self-describing caption
+    checkpoint directory — the manifest records config + vocab at save time,
+    so no training CLI flags are replayed. Shared by the AOT exporter
+    (``vct.serve.aot``) and the directory-captioning CLI
+    (``vct.caption.infer``); ``height``/``width`` fix the frame geometry the
+    state is initialized against (CaptionConfig carries no image size — the
+    reference's caption pipeline hardcodes 224, ``s2vt/beam_search.py:143``).
+    """
+    import dataclasses
+
+    with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if "config" not in manifest:
+        raise ValueError(
+            f"{ckpt_dir}: caption checkpoint manifest has no 'config' "
+            "(saved by an older vct) — re-save a checkpoint with the "
+            "current trainer"
+        )
+    known = {f.name for f in dataclasses.fields(CaptionConfig)}
+    cfg = CaptionConfig(
+        **{k: v for k, v in manifest["config"].items() if k in known}
+    )
+    vocab = Vocabulary.from_dict(manifest["vocab"])
+    trainer = CaptionTrainer(cfg, vocab)
+    sample_v = np.zeros((1, cfg.num_frames, height, width, 3), np.float32)
+    sample_c = np.zeros((1, cfg.max_caption_len), np.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample_v, sample_c)
+    state, _, _ = trainer.load_checkpoint(ckpt_dir, state)
+    return trainer, state, cfg

@@ -53,41 +53,51 @@ def preprocess_clips(
     return x
 
 
-@partial(jax.jit, static_argnames=("sequence_length", "method", "out_hw"))
+@partial(
+    jax.jit, static_argnames=("sequence_length", "method", "out_hw", "short_pad")
+)
 def device_sample_clips(
     raw: jax.Array,
     sequence_length: int,
     method: str = "sad",
     out_hw: Optional[Tuple[int, int]] = None,
     lengths: Optional[jax.Array] = None,
+    short_pad: str = "cycle",
 ) -> jax.Array:
     """uint8 (B, L, H, W, 3) with L >= T: select T frames per clip on device,
     then normalize/resize.
 
     ``lengths`` (B,) gives each clip's true frame count when the L axis is
     padded up to a bucket size (bounded compile count — the padded tail is
-    masked out of selection). Clips shorter than T duplicate their real
-    frames cyclically, matching the host ``duplicate_frames`` path.
+    masked out of selection). Clips shorter than T extend their real frames
+    per ``short_pad``: "cycle" duplicates cyclically, matching the
+    classifier's host ``duplicate_frames`` path (loader_data.py:43-51);
+    "last" repeats the final real frame, matching the caption pipeline's
+    ``extract_frames`` padding (s2vt/beam_search.py:176-180).
 
     Methods — the device analogues of the host samplers:
       * "uniform": stride selection, idx = (true_len // T) * arange(T)
-        (identical indices to ``vct.data.samplers.uniform_sampling``)
+        (identical indices to ``vct.data.samplers.uniform_sampling`` and to
+        the caption pipeline's interval extraction)
       * "sad" (exact), "ssim" (uniform-window SSIM), "flow" (the documented
         difference-energy proxy for Farneback magnitude, SURVEY.md §7): score
         transitions, keep frame 0 + the (T-1) most-dynamic frames.
     """
+    if short_pad not in ("cycle", "last"):
+        raise ValueError(f"short_pad must be 'cycle' or 'last', got {short_pad!r}")
     L = raw.shape[1]
     lens = (
         lengths.astype(jnp.int32)
         if lengths is not None
         else jnp.full((raw.shape[0],), L, jnp.int32)
     )
-    # Short-clip parity with the host path: for true length n <= T the host
-    # keeps/cyclically duplicates the real frames (duplicate_frames,
-    # loader_data.py:43-51) — never selects padding, never scores.
-    cyc = jnp.arange(sequence_length, dtype=jnp.int32)[None, :] % jnp.maximum(
-        lens, 1
-    )[:, None]
+    # Short-clip parity with the host paths: for true length n <= T the host
+    # keeps all real frames then pads — never selects padding, never scores.
+    pos = jnp.arange(sequence_length, dtype=jnp.int32)[None, :]
+    if short_pad == "cycle":
+        cyc = pos % jnp.maximum(lens, 1)[:, None]
+    else:
+        cyc = jnp.minimum(pos, jnp.maximum(lens, 1)[:, None] - 1)
     short = (lens <= sequence_length)[:, None]
     if raw.shape[1] <= sequence_length:
         idx = cyc

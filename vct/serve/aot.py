@@ -58,6 +58,66 @@ def _batch_sharding(n_dev: int):
     return NamedSharding(mesh, PartitionSpec("data"))
 
 
+def _check_platform(platform: str) -> None:
+    """Raise a clear error when an artifact was lowered for a platform other
+    than the default backend (artifacts are per-platform: the serialized
+    StableHLO embeds its target). Shared by both servable loaders."""
+    import jax
+
+    here = jax.default_backend()
+    # jax.export spells the TPU platform "tpu"; backends agree today,
+    # but compare case-insensitively to be safe.
+    if platform.lower() != here.lower():
+        raise ValueError(
+            f"artifact was exported for platform={platform!r} but "
+            f"the default backend here is {here!r}; re-export on this "
+            "platform (python -m vct.serve.aot)"
+        )
+
+
+def _bucket_for(buckets: List[int], n: int) -> int:
+    """Smallest compiled bucket that fits ``n`` rows, else the largest."""
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]
+
+
+def _run_bucketed(fns, buckets, arrays, stage, empty):
+    """Stream ``(array_0[i], array_1[i], ...)`` batches through the bucketed
+    executables: full chunks use the largest bucket, the tail pads up to the
+    smallest bucket that fits (same shape discipline as
+    ``deployment.classify_videos``), padded rows slice off host-side.
+
+    ``stage`` places one host chunk on device; ``empty`` is the tuple of
+    zero-row outputs returned for empty input. Executables may return one
+    array or a tuple — outputs concatenate per position. Shared by the
+    classifier and caption servables so the chunking discipline has ONE
+    implementation."""
+    outs = tuple([] for _ in empty)
+    big = buckets[-1]
+    n = len(arrays[0])
+    start = 0
+    while start < n:
+        chunks = [a[start : start + big] for a in arrays]
+        m = len(chunks[0])
+        b = _bucket_for(buckets, m)
+        if m < b:
+            chunks = [
+                np.concatenate([c, np.zeros((b - m,) + c.shape[1:], c.dtype)])
+                for c in chunks
+            ]
+        res = fns[b].call(*[stage(c) for c in chunks])
+        if not isinstance(res, (tuple, list)):
+            res = (res,)
+        for acc, r in zip(outs, res):
+            acc.append(np.asarray(r)[:m])
+        start += m
+    if not outs[0]:
+        return empty
+    return tuple(np.concatenate(acc) for acc in outs)
+
+
 def export_servable(
     model,
     variables,
@@ -98,7 +158,12 @@ def export_servable(
     from jax import export as jex
 
     T = int(input_shape[0])
-    raw_len = int(raw_len) if raw_len else 2 * T
+    if raw_len is not None and not device_sampling:
+        raise ValueError(
+            "raw_len only applies with device_sampling (it sizes the raw "
+            "uint8 clip capacity the baked-in sampler selects from)"
+        )
+    raw_len = int(raw_len) if raw_len is not None else 2 * T
     if device_sampling:
         from vct.data.preprocess import device_sample_clips
 
@@ -214,6 +279,8 @@ def export_caption_servable(
     batch_sizes: Sequence[int] = (1, 8),
     beam_width: int = 3,
     max_len: int = 30,
+    device_sampling: bool = False,
+    raw_len: Optional[int] = None,
 ) -> None:
     """Serialize the FULL captioning pipeline per batch bucket: CNN features
     -> encoder -> jitted beam search, weights baked in as constants.
@@ -229,6 +296,14 @@ def export_caption_servable(
     export another artifact to change them. Works for every captioner family
     ``vct.caption.beam.beam_search`` supports (s2vt, v1_lstm/gru,
     transformer).
+
+    ``device_sampling=True`` additionally bakes the caption pipeline's
+    interval frame selection (``s2vt/beam_search.py:143-180``: stride
+    ``true_len // T``, last-frame padding) into the executables: they then
+    take ragged raw uint8 clips (B, raw_len, H, W, 3) plus true lengths (B,)
+    and run selection + /255 on device before the encoder — serve with
+    ``CaptionAotServable.caption_raw``. ``raw_len`` sizes the raw capacity
+    (default 2x T).
     """
     import jax
     import jax.numpy as jnp
@@ -240,19 +315,51 @@ def export_caption_servable(
         raise ValueError(f"beam_width must be >= 1, got {beam_width}")
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
-
-    def forward(video):
-        return beam_search(
-            model, variables, video, beam_width=beam_width, max_len=max_len
+    T = int(input_shape[0])
+    if raw_len is not None and not device_sampling:
+        raise ValueError(
+            "raw_len only applies with device_sampling (it sizes the raw "
+            "uint8 clip capacity the baked-in selection samples from)"
         )
+    raw_len = int(raw_len) if raw_len is not None else 2 * T
+    if device_sampling:
+        from vct.data.preprocess import device_sample_clips
+
+        if raw_len <= T:
+            raise ValueError(f"raw_len {raw_len} must exceed the sampled T={T}")
+
+        def forward(raw, lengths):
+            video = device_sample_clips(
+                raw, T, method="uniform", lengths=lengths, short_pad="last"
+            )
+            return beam_search(
+                model, variables, video, beam_width=beam_width, max_len=max_len
+            )
+
+    else:
+
+        def forward(video):
+            return beam_search(
+                model, variables, video, beam_width=beam_width, max_len=max_len
+            )
 
     fwd = jax.jit(forward)
     blobs = {}
     for b in sorted(set(int(b) for b in batch_sizes)):
         if b <= 0:
             raise ValueError(f"batch sizes must be positive, got {b}")
-        spec = jax.ShapeDtypeStruct((b,) + tuple(input_shape), jnp.float32)
-        exported = jex.export(fwd)(spec)
+        if device_sampling:
+            specs = (
+                jax.ShapeDtypeStruct(
+                    (b, raw_len) + tuple(input_shape[1:]), jnp.uint8
+                ),
+                jax.ShapeDtypeStruct((b,), jnp.int32),
+            )
+        else:
+            specs = (
+                jax.ShapeDtypeStruct((b,) + tuple(input_shape), jnp.float32),
+            )
+        exported = jex.export(fwd)(*specs)
         blobs[b] = exported.serialize()
 
     manifest = {
@@ -265,6 +372,8 @@ def export_caption_servable(
         "start_token": 1,
         "end_token": 2,
         "pad_token": 0,
+        "device_sampling": bool(device_sampling),
+        "raw_len": raw_len if device_sampling else None,
         "platform": jex.default_export_platform(),
         "jax_version": jax.__version__,
     }
@@ -282,6 +391,8 @@ def export_from_caption_checkpoint(
     max_len: Optional[int] = None,
     height: int = 224,
     width: int = 224,
+    device_sampling: bool = False,
+    raw_len: Optional[int] = None,
 ) -> None:
     """Build a caption artifact straight from a ``CaptionTrainer`` checkpoint.
 
@@ -289,36 +400,14 @@ def export_from_caption_checkpoint(
     save time); ``height``/``width`` fix the frame geometry to bake in (the
     reference's caption pipeline is 224x224, ``s2vt/beam_search.py:143-180``
     — CaptionConfig carries no image size, the dataset does).
+    ``device_sampling``/``raw_len``: bake interval frame selection in (see
+    ``export_caption_servable``).
     """
-    import os
+    from vct.caption.train import restore_caption_trainer
 
-    import jax
-    import numpy as np
-
-    from vct.caption.train import CaptionTrainer
-    from vct.caption.vocab import Vocabulary
-    from vct.core.config import CaptionConfig
-
-    with open(os.path.join(ckpt_dir, _MANIFEST)) as f:
-        manifest = json.load(f)
-    if "config" not in manifest:
-        raise ValueError(
-            f"{ckpt_dir}: caption checkpoint manifest has no 'config' "
-            "(saved by an older vct) — re-save a checkpoint with the "
-            "current trainer, or export via export_caption_servable()"
-        )
-    import dataclasses
-
-    known = {f.name for f in dataclasses.fields(CaptionConfig)}
-    cfg = CaptionConfig(
-        **{k: v for k, v in manifest["config"].items() if k in known}
+    trainer, state, cfg = restore_caption_trainer(
+        ckpt_dir, height=height, width=width
     )
-    vocab = Vocabulary.from_dict(manifest["vocab"])
-    trainer = CaptionTrainer(cfg, vocab)
-    sample_v = np.zeros((1, cfg.num_frames, height, width, 3), np.float32)
-    sample_c = np.zeros((1, cfg.max_caption_len), np.int32)
-    state = trainer.init_state(jax.random.PRNGKey(0), sample_v, sample_c)
-    state, _, _ = trainer.load_checkpoint(ckpt_dir, state)
     export_caption_servable(
         trainer.model,
         {"params": state.params, **state.extra_vars},
@@ -328,6 +417,8 @@ def export_from_caption_checkpoint(
         batch_sizes=batch_sizes,
         beam_width=beam_width if beam_width is not None else cfg.beam_width,
         max_len=max_len if max_len is not None else cfg.max_caption_len,
+        device_sampling=device_sampling,
+        raw_len=raw_len,
     )
 
 
@@ -371,26 +462,10 @@ class AotServable:
         return sv
 
     def _bucket_for(self, n: int) -> int:
-        for b in self._buckets:
-            if b >= n:
-                return b
-        return self._buckets[-1]
+        return _bucket_for(self._buckets, n)
 
     def check_platform(self) -> None:
-        """Raise a clear error when the artifact was lowered for a platform
-        other than the default backend (artifacts are per-platform: the
-        serialized StableHLO embeds its target)."""
-        import jax
-
-        here = jax.default_backend()
-        # jax.export spells the TPU platform "tpu"; backends agree today,
-        # but compare case-insensitively to be safe.
-        if self.platform.lower() != here.lower():
-            raise ValueError(
-                f"artifact was exported for platform={self.platform!r} but "
-                f"the default backend here is {here!r}; re-export on this "
-                "platform (python -m vct.serve.aot)"
-            )
+        _check_platform(self.platform)
 
     def _stage(self, chunk):
         import jax
@@ -408,34 +483,14 @@ class AotServable:
         return jnp.asarray(chunk)
 
     def _run_chunks(self, arrays: Tuple[np.ndarray, ...]) -> np.ndarray:
-        """Stream (array_0[i], array_1[i], ...) batches through the bucketed
-        executables: full chunks use the largest bucket, the tail pads up to
-        the smallest bucket that fits (same shape discipline as
-        ``deployment.classify_videos``). Multi-device artifacts shard every
-        chunk batch-wise over the mesh."""
-        out = []
-        big = self._buckets[-1]
-        n = len(arrays[0])
-        start = 0
-        while start < n:
-            chunks = [a[start : start + big] for a in arrays]
-            m = len(chunks[0])
-            b = self._bucket_for(m)
-            if m < b:
-                chunks = [
-                    np.concatenate(
-                        [c, np.zeros((b - m,) + c.shape[1:], c.dtype)]
-                    )
-                    for c in chunks
-                ]
-            staged = [self._stage(c) for c in chunks]
-            out.append(np.asarray(self._fns[b].call(*staged))[:m])
-            start += m
-        return (
-            np.concatenate(out)
-            if out
-            else np.zeros((0, len(self.class_names)), np.float32)
+        """Stream batches through the bucketed executables (shared
+        ``_run_bucketed`` discipline). Multi-device artifacts shard every
+        chunk batch-wise over the mesh via ``_stage``."""
+        (probs,) = _run_bucketed(
+            self._fns, self._buckets, arrays, self._stage,
+            empty=(np.zeros((0, len(self.class_names)), np.float32),),
         )
+        return probs
 
     def classify(self, clips: np.ndarray) -> np.ndarray:
         """Softmax probabilities for pre-sampled (N, T, H, W, 3) f32 clips."""
@@ -474,6 +529,15 @@ class AotServable:
             raise ValueError(
                 f"lengths must be ({len(raw)},), got {lengths.shape}"
             )
+        # Value-validate too: the executable's gather clamps out-of-range
+        # frame indices, so a length beyond raw_len would silently classify
+        # padding frames instead of erroring.
+        if len(lengths) and (lengths.min() < 1 or lengths.max() > self.raw_len):
+            raise ValueError(
+                f"lengths must be in [1, raw_len={self.raw_len}], got "
+                f"range [{lengths.min()}, {lengths.max()}] — truncate clips "
+                "to the artifact's raw capacity before calling"
+            )
         return self._run_chunks((raw, lengths))
 
 
@@ -489,6 +553,9 @@ class CaptionAotServable:
         self.start_token: int = int(manifest["start_token"])
         self.end_token: int = int(manifest["end_token"])
         self.pad_token: int = int(manifest["pad_token"])
+        # absent in artifacts exported before the raw contract existed
+        self.device_sampling: bool = bool(manifest.get("device_sampling"))
+        self.raw_len: Optional[int] = manifest.get("raw_len")
         from vct.caption.vocab import Vocabulary
 
         self.vocab = Vocabulary.from_dict(manifest["vocab"])
@@ -517,18 +584,23 @@ class CaptionAotServable:
             }
         sv = cls(manifest, fns)
         # Same per-platform contract as the classifier artifact.
-        AotServable.check_platform(sv)
+        _check_platform(sv.platform)
         return sv
 
-    def _bucket_for(self, n: int) -> int:
-        for b in self._buckets:
-            if b >= n:
-                return b
-        return self._buckets[-1]
+    def _empty(self):
+        return (
+            np.zeros((0, self.max_len + 1), np.int32),
+            np.zeros((0,), np.float32),
+        )
 
     def decode(self, clips: np.ndarray):
         """(tokens (N, max_len+1) int32 incl. leading <start>, scores (N,))
         for pre-sampled (N, T, H, W, 3) float32 clips in [0, 1]."""
+        if self.device_sampling:
+            raise ValueError(
+                "this artifact bakes in on-device frame selection — feed "
+                "raw clips via decode_raw/caption_raw(raw, lengths)"
+            )
         clips = np.asarray(clips, np.float32)
         if clips.ndim != 5 or clips.shape[1:] != self.input_shape:
             raise ValueError(
@@ -536,38 +608,68 @@ class CaptionAotServable:
             )
         import jax.numpy as jnp
 
-        toks, scs = [], []
-        big = self._buckets[-1]
-        start = 0
-        while start < len(clips):
-            chunk = clips[start : start + big]
-            m = len(chunk)
-            b = self._bucket_for(m)
-            if m < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - m,) + chunk.shape[1:], chunk.dtype)]
-                )
-            t, s = self._fns[b].call(jnp.asarray(chunk))
-            toks.append(np.asarray(t)[:m])
-            scs.append(np.asarray(s)[:m])
-            start += m
-        if not toks:
-            return (
-                np.zeros((0, self.max_len + 1), np.int32),
-                np.zeros((0,), np.float32),
-            )
-        return np.concatenate(toks), np.concatenate(scs)
+        return _run_bucketed(
+            self._fns, self._buckets, (clips,), jnp.asarray,
+            empty=self._empty(),
+        )
 
-    def caption(self, clips: np.ndarray) -> List[List[str]]:
-        """Word lists for (N, T, H, W, 3) float32 clips in [0, 1]."""
+    def decode_raw(self, raw: np.ndarray, lengths):
+        """(tokens, scores) straight from RAGGED RAW uint8 clips.
+
+        ``raw`` is (N, raw_len, H, W, 3) uint8 (each clip's true frames
+        first, tail padding ignored); ``lengths`` the true frame counts.
+        Interval frame selection + /255 + encode + beam search all run
+        inside the artifact's executable."""
+        if not self.device_sampling:
+            raise ValueError(
+                "this artifact has no baked-in frame selection — feed "
+                "pre-sampled clips via decode/caption(clips)"
+            )
+        raw = np.asarray(raw)
+        want = (self.raw_len,) + tuple(self.input_shape[1:])
+        if raw.dtype != np.uint8 or raw.ndim != 5 or raw.shape[1:] != want:
+            raise ValueError(
+                f"expected (N,) + {want} uint8, got {raw.shape} {raw.dtype}"
+            )
+        lengths = np.asarray(lengths, np.int32)
+        if lengths.shape != (len(raw),):
+            raise ValueError(
+                f"lengths must be ({len(raw)},), got {lengths.shape}"
+            )
+        # Same value validation as the classifier raw contract: the
+        # executable's gather clamps, so out-of-range lengths would silently
+        # select padding frames instead of erroring.
+        if len(lengths) and (lengths.min() < 1 or lengths.max() > self.raw_len):
+            raise ValueError(
+                f"lengths must be in [1, raw_len={self.raw_len}], got "
+                f"range [{lengths.min()}, {lengths.max()}] — truncate clips "
+                "to the artifact's raw capacity before calling"
+            )
+        import jax.numpy as jnp
+
+        return _run_bucketed(
+            self._fns, self._buckets, (raw, lengths), jnp.asarray,
+            empty=self._empty(),
+        )
+
+    def _words(self, tokens) -> List[List[str]]:
         from vct.caption.beam import decode_tokens
 
-        tokens, _ = self.decode(clips)
         return [
             decode_tokens(row, self.vocab, self.start_token, self.end_token,
                           self.pad_token)
             for row in tokens
         ]
+
+    def caption(self, clips: np.ndarray) -> List[List[str]]:
+        """Word lists for (N, T, H, W, 3) float32 clips in [0, 1]."""
+        tokens, _ = self.decode(clips)
+        return self._words(tokens)
+
+    def caption_raw(self, raw: np.ndarray, lengths) -> List[List[str]]:
+        """Word lists straight from ragged raw uint8 clips (see decode_raw)."""
+        tokens, _ = self.decode_raw(raw, lengths)
+        return self._words(tokens)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -593,9 +695,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument(
         "--device_sampling",
         default=None,
-        help="bake on-device frame selection (sad|ssim|uniform|flow) into "
-             "the executables: they then take ragged raw uint8 clips + "
-             "lengths (AotServable.classify_raw)",
+        help="bake on-device frame selection into the executables: they "
+             "then take ragged raw uint8 clips + lengths. Classifier "
+             "checkpoints: sad|ssim|uniform|flow "
+             "(AotServable.classify_raw); caption checkpoints: interval "
+             "(CaptionAotServable.caption_raw)",
     )
     parser.add_argument(
         "--raw_len",
@@ -614,12 +718,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="caption checkpoints only: max caption length to bake in",
     )
     parser.add_argument(
-        "--height", type=int, default=224,
+        "--height", type=int, default=None,
         help="caption checkpoints only: frame height to bake in "
-             "(the reference caption pipeline is 224)",
+             "(default 224 — the reference caption pipeline)",
     )
     parser.add_argument(
-        "--width", type=int, default=224,
+        "--width", type=int, default=None,
         help="caption checkpoints only: frame width to bake in",
     )
     args = parser.parse_args(argv)
@@ -636,24 +740,48 @@ def main(argv: Optional[List[str]] = None) -> int:
             is_caption = "vocab" in json.load(f)
 
     if is_caption:
-        if args.data_parallel != 1 or args.device_sampling:
+        if args.data_parallel != 1:
+            parser.error("--data_parallel applies to classifier artifacts only")
+        if args.device_sampling not in (None, "interval"):
             parser.error(
-                "--data_parallel/--device_sampling apply to classifier "
-                "artifacts only"
+                "caption artifacts support --device_sampling interval only "
+                "(the caption pipeline's stride selection, "
+                "s2vt/beam_search.py:143-180); sad/ssim/uniform/flow are "
+                "classifier selection methods"
             )
+        if args.raw_len is not None and not args.device_sampling:
+            parser.error("--raw_len requires --device_sampling (it sizes "
+                         "the raw clip capacity the baked-in selection "
+                         "samples from)")
         export_from_caption_checkpoint(
             args.model, args.out, batch_sizes=batch_sizes,
             beam_width=args.beam_width, max_len=args.max_len,
-            height=args.height, width=args.width,
+            height=args.height if args.height is not None else 224,
+            width=args.width if args.width is not None else 224,
+            device_sampling=args.device_sampling == "interval",
+            raw_len=args.raw_len,
         )
         csv = CaptionAotServable.load(args.out)
         print(
             f"exported {args.out}: caption platform={csv.platform} "
             f"buckets={sorted(csv._fns)} beam_width={csv.beam_width} "
-            f"max_len={csv.max_len} vocab={len(csv.vocab)} words"
+            f"max_len={csv.max_len} "
+            + (f"device_sampling=interval raw_len={csv.raw_len} "
+               if csv.device_sampling else "")
+            + f"vocab={len(csv.vocab)} words"
         )
         return 0
 
+    for flag, val in (("--beam_width", args.beam_width),
+                      ("--max_len", args.max_len),
+                      ("--height", args.height), ("--width", args.width)):
+        if val is not None:
+            parser.error(f"{flag} applies to caption checkpoints only "
+                         "(classifier geometry comes from the checkpoint "
+                         "config)")
+    if args.raw_len is not None and not args.device_sampling:
+        parser.error("--raw_len requires --device_sampling (it sizes the "
+                     "raw clip capacity the baked-in sampler selects from)")
     export_from_checkpoint(args.model, args.out, batch_sizes=batch_sizes,
                            data_parallel=args.data_parallel,
                            device_sampling=args.device_sampling,

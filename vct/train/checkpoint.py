@@ -163,6 +163,10 @@ def load_train_state(path: str, state) -> Tuple[Any, int, dict]:
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
+    # Orbax requires absolute paths; without this a relative-path resume
+    # would raise inside restore and be swallowed into "starting from
+    # epoch 0" below — silently retraining instead of resuming.
+    path = os.path.abspath(path)
     manifest_path = os.path.join(path, "train_manifest.json")
     if not os.path.exists(manifest_path):
         return state, 0, {}
