@@ -145,7 +145,9 @@ def test_artifact_rejects_mismatched_baked_flags(ckpt_dir, tmp_path):
 def test_raw_artifact_caption_directory_agrees(ckpt_dir, tmp_path):
     """A raw-contract caption artifact (baked interval selection) captions a
     directory identically to the plain artifact whose selection ran on the
-    host — including a video shorter than T (last-frame padding parity)."""
+    host — including a video shorter than T (last-frame padding parity) and
+    a video LONGER than the artifact's raw capacity (host interval-extraction
+    fallback, not silent truncation to the first raw_len frames)."""
     cv2 = pytest.importorskip("cv2")
     from vct.caption.infer import caption_directory
     from vct.serve.aot import export_from_caption_checkpoint
@@ -153,7 +155,9 @@ def test_raw_artifact_caption_directory_agrees(ckpt_dir, tmp_path):
     vids = tmp_path / "vids"
     os.makedirs(str(vids))
     rng = np.random.RandomState(7)
-    for name, n_frames in (("a.mp4", 7), ("b.mp4", 4), ("c.mp4", 2)):
+    # d.mp4: 20 frames > raw_len=8 — exercises the over-capacity fallback
+    for name, n_frames in (("a.mp4", 7), ("b.mp4", 4), ("c.mp4", 2),
+                           ("d.mp4", 20)):
         w = cv2.VideoWriter(
             str(vids / name), cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
             (SIZE, SIZE),
@@ -165,15 +169,28 @@ def test_raw_artifact_caption_directory_agrees(ckpt_dir, tmp_path):
     plain = str(tmp_path / "plain.vctaot")
     raw = str(tmp_path / "raw.vctaot")
     export_from_caption_checkpoint(
-        ckpt_dir, plain, batch_sizes=(3,), height=SIZE, width=SIZE
+        ckpt_dir, plain, batch_sizes=(4,), height=SIZE, width=SIZE
     )
     export_from_caption_checkpoint(
-        ckpt_dir, raw, batch_sizes=(3,), height=SIZE, width=SIZE,
+        ckpt_dir, raw, batch_sizes=(4,), height=SIZE, width=SIZE,
         device_sampling=True, raw_len=8,
     )
     want = caption_directory(plain, str(vids))
     got = caption_directory(raw, str(vids))
-    assert got == want and len(got) == 3
+    assert got == want and len(got) == 4
+
+
+def test_caption_directory_all_files_skipped_raises(ckpt_dir, tmp_path):
+    """A directory where EVERY video individually fails decode must raise —
+    not print N errors and return [] with exit 0."""
+    from vct.caption.infer import caption_directory
+
+    vids = tmp_path / "vids"
+    os.makedirs(str(vids))
+    (vids / "x.mp4").write_bytes(b"junk")
+    (vids / "y.mp4").write_bytes(b"also junk")
+    with pytest.raises(RuntimeError, match="all 2 videos"):
+        caption_directory(ckpt_dir, str(vids), height=SIZE, width=SIZE)
 
 
 def test_systemic_decode_errors_propagate(ckpt_dir, tmp_path, monkeypatch):

@@ -10,7 +10,7 @@ fixed ``num_frames`` x 224 x 224 via interval sampling with last-frame padding
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -100,28 +100,53 @@ def extract_frames_interval(
 
 
 def extract_frames_raw(
-    path: str, max_frames: int, size: int = 224
+    path: str, max_frames: int, size: int = 224,
+    target_frames: Optional[int] = None,
 ) -> np.ndarray:
     """Every frame (up to ``max_frames``), resized, raw uint8
     (L, size, size, 3) — the host half of the caption raw-artifact contract
     (``CaptionAotServable.caption_raw``): interval selection + /255 run on
-    device, so the host only decodes and resizes. Videos longer than
-    ``max_frames`` truncate to the artifact's raw capacity (the baked
-    interval is then computed over the first ``max_frames`` frames)."""
-    import cv2
+    device, so the host only decodes and resizes.
 
-    cap = cv2.VideoCapture(path)
-    if not cap.isOpened():
-        raise IOError(f"Could not open video file {path}")
-    frames = []
-    while len(frames) < max_frames:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        frames.append(cv2.resize(frame, (size, size)))
-    cap.release()
+    Videos longer than ``max_frames`` exceed the artifact's raw capacity.
+    With ``target_frames`` given (the artifact's sampled T), such videos
+    fall back to the reference interval extraction over the FULL video
+    (``extract_frames_interval``) — the device's uniform selection is the
+    identity over exactly T frames, so long videos caption identically to
+    the plain (pre-sampled) artifact path instead of silently striding over
+    only the first ``max_frames`` frames. Without ``target_frames``, they
+    truncate with a printed warning."""
+    from vct.data.video import decode_video
+
+    if target_frames is not None:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise IOError(f"Could not open video file {path}")
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        if total > max_frames:
+            return extract_frames_interval(
+                path, target_frames, size, as_uint8=True
+            )
+    # Decode one frame past capacity so containers whose frame-count
+    # metadata lies low still get detected as over-capacity.
+    frames = decode_video(
+        path, size, size, max_frames=max_frames + 1, to_rgb=False
+    )
     if not frames:
         raise ValueError(f"No frames found in {path}")
+    if len(frames) > max_frames:
+        if target_frames is not None:
+            return extract_frames_interval(
+                path, target_frames, size, as_uint8=True
+            )
+        print(
+            f"Warning: {os.path.basename(path)} exceeds the raw capacity "
+            f"({max_frames} frames); striding over the first {max_frames} only"
+        )
+        frames = frames[:max_frames]
     return np.stack(frames)
 
 

@@ -31,6 +31,19 @@ def _list_videos(video_dir: str, video_ext: Optional[str]) -> List[str]:
     )
 
 
+def _skip_errors():
+    """Per-file decode failures worth skipping. cv2.error subclasses
+    Exception directly — without it one corrupt stream that opens but then
+    raises inside cv2 would abort the whole directory run."""
+    errs = (ValueError, OSError, RuntimeError)
+    try:
+        import cv2
+
+        return errs + (cv2.error,)
+    except ImportError:  # native-decoder-only host
+        return errs
+
+
 def _decode_chunk(paths: List[str], num_frames: int, size: int):
     """(clips f32 [0,1], kept paths) — unreadable files skip with a print
     (the reference's defensive-skip style, loader_data.py:301-303).
@@ -45,24 +58,29 @@ def _decode_chunk(paths: List[str], num_frames: int, size: int):
     for p in paths:
         try:
             clips.append(extract_frames_interval(p, num_frames, size))
-        except (ValueError, OSError, RuntimeError) as e:
+        except _skip_errors() as e:
             print(f"Error processing {os.path.basename(p)}: {e}")
             continue
         kept.append(p)
     return clips, kept
 
 
-def _decode_chunk_raw(paths: List[str], raw_len: int, size: int):
+def _decode_chunk_raw(
+    paths: List[str], raw_len: int, size: int, target_frames: int
+):
     """(raw uint8 clips padded to raw_len, true lengths, kept paths) — the
     host half of the caption raw-artifact contract; same defensive-skip
-    discipline as ``_decode_chunk``."""
+    discipline as ``_decode_chunk``. ``target_frames`` lets over-capacity
+    videos fall back to host interval extraction so they caption identically
+    to the plain path (see ``extract_frames_raw``)."""
     from vct.caption.data import extract_frames_raw
 
     raws, lens, kept = [], [], []
     for p in paths:
         try:
-            fr = extract_frames_raw(p, raw_len, size)
-        except (ValueError, OSError, RuntimeError) as e:
+            fr = extract_frames_raw(p, raw_len, size,
+                                    target_frames=target_frames)
+        except _skip_errors() as e:
             print(f"Error processing {os.path.basename(p)}: {e}")
             continue
         lens.append(len(fr))
@@ -81,7 +99,7 @@ def caption_directory(
     video_ext: Optional[str] = None,
     height: Optional[int] = None,
     width: Optional[int] = None,
-    chunk: int = 8,
+    chunk: Optional[int] = None,
 ) -> List[Tuple[str, str]]:
     """Caption every video in ``video_dir``; returns [(path, caption), ...]
     and prints the reference's ``Generated Caption:`` line per video.
@@ -93,6 +111,11 @@ def caption_directory(
     from what was baked is an error (re-export to change them), never a
     silent ignore. For a checkpoint, geometry defaults to the reference's
     224x224 caption pipeline.
+
+    ``chunk`` bounds how many clips are host-resident at once. Default:
+    the artifact's largest compiled batch bucket (smaller chunks would be
+    zero-padded up to a bucket inside the executable — wasted beam-search
+    compute), or 8 for a checkpoint.
     """
     paths = _list_videos(video_dir, video_ext)
     if not paths:
@@ -127,6 +150,8 @@ def caption_directory(
                 f"artifact geometry {H}x{W} is not square; the host frame "
                 "extractor (extract_frames_interval) resizes square"
             )
+        if chunk is None:
+            chunk = sv.buckets[-1]
 
         if sv.device_sampling:
             # Raw contract: the artifact bakes interval selection in, so
@@ -134,7 +159,7 @@ def caption_directory(
             # search run inside the executable.
             def caption_chunk(chunk_paths: List[str]):
                 raws, lens, kept = _decode_chunk_raw(
-                    chunk_paths, sv.raw_len, H
+                    chunk_paths, sv.raw_len, H, target_frames=T
                 )
                 if not raws:
                     return [], []
@@ -163,6 +188,8 @@ def caption_directory(
         )
         num_frames = cfg.num_frames
         ck_size = height
+        if chunk is None:
+            chunk = 8
 
         def caption_chunk(chunk_paths: List[str]):
             clips, kept = _decode_chunk(chunk_paths, num_frames, ck_size)
@@ -182,4 +209,11 @@ def caption_directory(
             text = " ".join(words)
             print(f"{os.path.basename(p)} Generated Caption: {text}")
             results.append((p, text))
+    if not results:
+        # Every file was individually skipped: a directory of N corrupt
+        # videos must not exit 0 having captioned nothing (the systemic
+        # failure the per-file defensive skip exists to distinguish).
+        raise RuntimeError(
+            f"all {len(paths)} videos in {video_dir} failed to decode"
+        )
     return results

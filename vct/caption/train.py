@@ -371,25 +371,43 @@ class CaptionTrainer:
             "rng": jax.device_get(state.rng),
             "step": jax.device_get(state.step),
         }
+        # Legacy checkpoints (saved before rng/step were added to the
+        # tree): restore the keys that exist and keep the fresh state's
+        # rng/step — an automatic resume must not become a hard crash
+        # on upgrade. The resumed run then matches the legacy resume
+        # semantics (dropout stream restarts), not bit-exact replay.
+        # Detect legacy STRUCTURALLY (is "rng" in the saved tree?) via
+        # checkpoint metadata rather than by matching Orbax's mismatch
+        # error message, which is version-dependent and can itself crash
+        # while formatting the structural diff.
+        state_dir = os.path.join(path, "state")
+        legacy_ckpt = None  # unknown until probed
         try:
-            tree = ckpt.restore(os.path.join(path, "state"), target)
-        except Exception as e:
-            # Legacy checkpoints (saved before rng/step were added to the
-            # tree): restore the keys that exist and keep the fresh state's
-            # rng/step — an automatic resume must not become a hard crash
-            # on upgrade. The resumed run then matches the legacy resume
-            # semantics (dropout stream restarts), not bit-exact replay.
-            # Only a genuine tree-structure mismatch takes this path;
-            # anything else (unreadable dir, corrupt arrays) re-raises
-            # rather than being misreported as a legacy checkpoint.
-            if "do not match" not in str(e):
-                raise
+            saved_tree = ckpt.metadata(state_dir).item_metadata.tree
+            legacy_ckpt = "rng" not in saved_tree
+        except Exception:
+            pass  # metadata API unavailable: fall back to try/except below
+        def _restore_legacy():
             legacy = {k: target[k]
                       for k in ("params", "extra_vars", "opt_state")}
-            tree = ckpt.restore(os.path.join(path, "state"), legacy)
-            tree = {**tree, "rng": target["rng"], "step": target["step"]}
+            tree = ckpt.restore(state_dir, legacy)
             print("Restored legacy caption checkpoint (no rng/step saved); "
                   "dropout stream restarts from the fresh seed")
+            return {**tree, "rng": target["rng"], "step": target["step"]}
+        if legacy_ckpt is True:
+            tree = _restore_legacy()
+        elif legacy_ckpt is False:
+            tree = ckpt.restore(state_dir, target)
+        else:
+            try:
+                tree = ckpt.restore(state_dir, target)
+            except Exception:
+                # Unreadable dirs / corrupt arrays fail here too — so only
+                # accept the legacy interpretation if its restore succeeds.
+                try:
+                    tree = _restore_legacy()
+                except Exception:
+                    raise  # surface the legacy failure with full context
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
         state = state.replace(
             params=as_jnp(tree["params"]),

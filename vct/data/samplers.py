@@ -299,7 +299,10 @@ def _device_ssim(a, b, win: int = 3, data_range: float = 255.0):
     # measured on the v5e chip, fusing the five inputs into a single
     # 15-channel depthwise conv ran 24% SLOWER end to end (921 vs 1216
     # clips/s in bench sampling_ssim mode) — the concat's HBM round trip and
-    # the wider channel padding cost more than the saved launches.
+    # the wider channel padding cost more than the saved launches. A
+    # shifted-slice-add separable filter (pure VPU adds, no conv) was also
+    # measured SLOWER (975 vs 1221 clips/s): XLA materializes the shifted
+    # slices as extra HBM copies where the conv reads each input once.
     ua, ub = filt(a), filt(b)
     uaa, ubb, uab = filt(a * a), filt(b * b), filt(a * b)
     va = cov_norm * (uaa - ua * ua)

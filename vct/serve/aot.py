@@ -437,6 +437,12 @@ class AotServable:
         self._buckets = sorted(fns)
         self._sharding = None
 
+    @property
+    def buckets(self) -> Tuple[int, ...]:
+        """Compiled batch buckets, ascending — callers feeding chunks should
+        chunk by ``buckets[-1]`` (smaller chunks zero-pad up to a bucket)."""
+        return tuple(self._buckets)
+
     @classmethod
     def load(cls, path: str) -> "AotServable":
         from jax import export as jex
@@ -562,6 +568,12 @@ class CaptionAotServable:
         self._fns = fns
         self._buckets = sorted(fns)
 
+    @property
+    def buckets(self) -> Tuple[int, ...]:
+        """Compiled batch buckets, ascending — callers feeding chunks should
+        chunk by ``buckets[-1]`` (smaller chunks zero-pad up to a bucket)."""
+        return tuple(self._buckets)
+
     @classmethod
     def load(cls, path: str) -> "CaptionAotServable":
         from jax import export as jex
@@ -682,8 +694,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--out", required=True, help="artifact output path")
     parser.add_argument(
         "--batches",
-        default="1,32",
-        help="comma-separated batch buckets to compile (default 1,32)",
+        default=None,
+        help="comma-separated batch buckets to compile (default 1,32 for "
+             "classifier checkpoints; 1,8 for caption checkpoints — beam "
+             "search per row is far heavier than one classifier forward)",
     )
     parser.add_argument(
         "--data_parallel",
@@ -727,7 +741,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="caption checkpoints only: frame width to bake in",
     )
     args = parser.parse_args(argv)
-    batch_sizes = [int(b) for b in args.batches.split(",") if b.strip()]
 
     # A caption checkpoint manifest carries the vocab; a classifier one
     # carries class_names — dispatch on that, no flag needed.
@@ -738,6 +751,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if os.path.isfile(manifest_path):
         with open(manifest_path) as f:
             is_caption = "vocab" in json.load(f)
+
+    if args.batches is None:
+        args.batches = "1,8" if is_caption else "1,32"
+    batch_sizes = [int(b) for b in args.batches.split(",") if b.strip()]
 
     if is_caption:
         if args.data_parallel != 1:
