@@ -303,6 +303,12 @@ def _device_ssim(a, b, win: int = 3, data_range: float = 255.0):
     # shifted-slice-add separable filter (pure VPU adds, no conv) was also
     # measured SLOWER (975 vs 1221 clips/s): XLA materializes the shifted
     # slices as extra HBM copies where the conv reads each input once.
+    # Sharing filter work across consecutive pairs (filter all L frames once,
+    # slice u[:-1]/u[1:] instead of filtering prev and curr separately — 2L+
+    # (L-1) frame passes vs 5(L-1)) was ALSO measured slower (1085 vs 1225
+    # clips/s, bit-exact): the overlapping slices of the shared moment
+    # tensors break XLA's conv→elementwise fusion and force the full-L
+    # moments out to HBM, costing more than the redundant filter math saves.
     ua, ub = filt(a), filt(b)
     uaa, ubb, uab = filt(a * a), filt(b * b), filt(a * b)
     va = cov_norm * (uaa - ua * ua)
