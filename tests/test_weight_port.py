@@ -488,18 +488,25 @@ def test_port_backbone_into_full_model():
     pytest.param("inception_v3", 96, marks=_SLOW),
 ])
 def test_fold_input_scale_into_stem(name, size):
-    """conv(x/255) == conv_with_folded_kernel(x) for every family."""
+    """conv(x/255) == conv_with_folded_kernel(x) for every family.
+
+    Pinned to float32 conv precision: this checks the algebraic fold, and
+    XLA:CPU's DEFAULT conv precision is bf16-class (measured ~3e-3 relative
+    on a single stem conv, algorithm-dependent per host), which drowns the
+    1e-4 tolerance. Under f32 the two scalings agree to ~2e-7.
+    """
     from vct.models.backbones import BACKBONES
     from vct.models.backbones.port import fold_input_scale_into_stem
 
     model = BACKBONES.get(name)()
-    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, size, size, 3)))
-    raw = np.random.RandomState(0).randint(0, 256, (2, size, size, 3), np.uint8)
+    with jax.default_matmul_precision("float32"):
+        variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, size, size, 3)))
+        raw = np.random.RandomState(0).randint(0, 256, (2, size, size, 3), np.uint8)
 
-    want = model.apply(variables, jnp.asarray(raw, jnp.float32) / 255.0)
-    folded = dict(variables)
-    folded["params"] = fold_input_scale_into_stem(variables["params"], name)
-    got = model.apply(folded, jnp.asarray(raw, jnp.float32))
+        want = model.apply(variables, jnp.asarray(raw, jnp.float32) / 255.0)
+        folded = dict(variables)
+        folded["params"] = fold_input_scale_into_stem(variables["params"], name)
+        got = model.apply(folded, jnp.asarray(raw, jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 

@@ -37,9 +37,8 @@ class _DenseLayer(nn.Module):
         )(out)
         out = _bn(self.dtype, "norm2")(out)
         out = nn.relu(out)
-        out = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)))
         out = nn.Conv(
-            self.growth_rate, (3, 3), padding="VALID", use_bias=False,
+            self.growth_rate, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, name="conv2",
         )(out)
         return jnp.concatenate([x, out], axis=-1)
@@ -74,15 +73,15 @@ class DenseNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         x = nn.Conv(
-            self.init_features, (7, 7), strides=(2, 2), padding="VALID",
-            use_bias=False, dtype=self.dtype, name="conv0",
+            self.init_features, (7, 7), strides=(2, 2),
+            padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype,
+            name="conv0",
         )(x)
         x = _bn(self.dtype, "norm0")(x)
         x = nn.relu(x)
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        # reduce_window pads with the -inf init value — same as torch's pad.
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         ch = self.init_features
         for i, n_layers in enumerate(self.block_config):

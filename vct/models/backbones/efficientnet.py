@@ -36,11 +36,10 @@ class _ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = (self.kernel - 1) // 2
-        if pad:
-            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
         x = nn.Conv(
             self.features, (self.kernel, self.kernel),
-            strides=(self.stride, self.stride), padding="VALID",
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
             feature_group_count=self.groups, use_bias=False,
             dtype=self.dtype, name="conv",
         )(x)

@@ -26,11 +26,10 @@ class _BasicConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         ph, pw = self.padding
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
         x = nn.Conv(
             self.features, self.kernel, strides=(self.stride, self.stride),
-            padding="VALID", use_bias=False, dtype=self.dtype, name="conv",
+            padding=[(ph, ph), (pw, pw)], use_bias=False, dtype=self.dtype,
+            name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=True, momentum=0.9, epsilon=1e-3,
@@ -40,8 +39,9 @@ class _BasicConv(nn.Module):
 
 
 def _avg3(x):
-    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return nn.avg_pool(x, (3, 3), strides=(1, 1))
+    # count_include_pad=True (flax default) divides by the full 3x3 window
+    # like torch's AvgPool2d(count_include_pad=True) — same as zero-pad+VALID.
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
 
 
 def _max3s2(x):

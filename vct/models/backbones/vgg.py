@@ -20,11 +20,10 @@ __all__ = ["VGG16", "vgg16", "AlexNet", "alexnet"]
 
 
 def _conv(x, features, dtype, name, kernel=3, stride=1, pad=1):
-    if pad:
-        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # Padding rides inside the conv op (no materialized jnp.pad copy).
     return nn.Conv(
-        features, (kernel, kernel), strides=(stride, stride), padding="VALID",
-        dtype=dtype, name=name,
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)], dtype=dtype, name=name,
     )(x)
 
 

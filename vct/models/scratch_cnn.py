@@ -23,8 +23,9 @@ __all__ = ["LRCN2", "TimeDistributedCNNLSTM"]
 
 
 def _conv3(x, features, dtype, name):
-    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return nn.Conv(features, (3, 3), padding="VALID", dtype=dtype, name=name)(x)
+    return nn.Conv(
+        features, (3, 3), padding=[(1, 1), (1, 1)], dtype=dtype, name=name
+    )(x)
 
 
 class LRCN2(nn.Module):
