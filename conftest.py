@@ -28,6 +28,17 @@ def _needs_cpu_reexec() -> bool:
 
 def pytest_configure(config):
     if not _needs_cpu_reexec():
+        if os.environ.get("VCT_TEST_TPU") != "1":
+            # XLA:CPU's DEFAULT conv/matmul precision is bf16-class (~3e-3
+            # relative per conv, and which algorithm it picks varies by
+            # host/thread count) — enough to intermittently drown the 1e-3/
+            # 1e-4 tolerances of the torch-golden and algebraic-identity
+            # tests. The CPU lane checks algebra, not backend rounding, so
+            # pin true f32. The TPU lane keeps the production default: its
+            # tolerances are part of what the suite validates on hardware.
+            import jax
+
+            jax.config.update("jax_default_matmul_precision", "float32")
         return
     import subprocess
 
