@@ -29,13 +29,18 @@ def _needs_cpu_reexec() -> bool:
 def pytest_configure(config):
     if not _needs_cpu_reexec():
         if os.environ.get("VCT_TEST_TPU") != "1":
-            # XLA:CPU's DEFAULT conv/matmul precision is bf16-class (~3e-3
-            # relative per conv, and which algorithm it picks varies by
-            # host/thread count) — enough to intermittently drown the 1e-3/
-            # 1e-4 tolerances of the torch-golden and algebraic-identity
-            # tests. The CPU lane checks algebra, not backend rounding, so
-            # pin true f32. The TPU lane keeps the production default: its
-            # tolerances are part of what the suite validates on hardware.
+            # The DEFAULT conv/matmul precision of whatever backend ends up
+            # active is bf16-class on the TPU MXU (measured ~3e-3 relative
+            # on a single stem conv) and backend/host-dependent on CPU —
+            # enough to drown the 1e-3/1e-4 tolerances of the torch-golden
+            # and algebraic-identity tests. This lane checks algebra, not
+            # backend rounding, so pin true f32. It also keeps the suite
+            # honest if env leakage lands it on a non-CPU backend (this
+            # machine's sitecustomize force-registers the TPU regardless of
+            # JAX_PLATFORMS — only the re-exec's scrubbed PYTHONPATH drops
+            # it). The VCT_TEST_TPU=1 lane keeps the production default:
+            # its tolerances are part of what the suite validates on
+            # hardware.
             import jax
 
             jax.config.update("jax_default_matmul_precision", "float32")

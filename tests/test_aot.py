@@ -533,3 +533,65 @@ def test_caption_raw_export_cli(tiny_captioner, tmp_path, capsys):
               "--device_sampling", "sad"])
     err = capsys.readouterr().err
     assert "interval only" in err
+
+
+def test_caption_data_parallel_export_serves_on_mesh(tiny_captioner, tmp_path):
+    """data_parallel=4 caption artifact: CNN + encoder + the whole beam
+    search shard batch-wise over the virtual mesh (suite runs on 8 CPU
+    devices); decode matches the single-device live beam search, including
+    a padded tail chunk. Mirrors the classifier artifact's contract."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    from vct.caption.beam import beam_search
+    from vct.serve.aot import CaptionAotServable, export_caption_servable
+
+    trainer, state, v = tiny_captioner
+    variables = {"params": state.params, **state.extra_vars}
+    shape = (3, 24, 24, 3)
+    path = str(tmp_path / "cdp.vctaot")
+    export_caption_servable(
+        trainer.model, variables, v, shape, path,
+        batch_sizes=(4,), beam_width=2, max_len=6, data_parallel=4,
+    )
+    sv = CaptionAotServable.load(path)
+    assert sv.n_devices == 4
+    clips = np.random.RandomState(7).rand(6, *shape).astype(np.float32)
+    tokens, scores = sv.decode(clips)  # bucket of 4 + tail of 2, padded
+    want_t, want_s = beam_search(
+        trainer.model, variables, jnp.asarray(clips), beam_width=2, max_len=6
+    )
+    np.testing.assert_array_equal(tokens, np.asarray(want_t))
+    np.testing.assert_allclose(scores, np.asarray(want_s), atol=1e-5)
+
+    # composes with the baked-in interval selection: raw uint8 clips and
+    # their lengths both shard batch-wise inside the executable.
+    from vct.data.preprocess import device_sample_clips
+
+    rpath = str(tmp_path / "cdps.vctaot")
+    export_caption_servable(
+        trainer.model, variables, v, shape, rpath,
+        batch_sizes=(4,), beam_width=2, max_len=6,
+        device_sampling=True, raw_len=6, data_parallel=4,
+    )
+    svr = CaptionAotServable.load(rpath)
+    assert svr.n_devices == 4 and svr.device_sampling
+    raw = np.random.RandomState(8).randint(0, 256, (4, 6) + shape[1:], np.uint8)
+    lengths = np.asarray([6, 5, 3, 4], np.int32)
+    rt, rs = svr.decode_raw(raw, lengths)
+    x = device_sample_clips(jnp.asarray(raw), shape[0], method="uniform",
+                            lengths=jnp.asarray(lengths), short_pad="last")
+    wt, ws = beam_search(trainer.model, variables, x, beam_width=2, max_len=6)
+    np.testing.assert_array_equal(rt, np.asarray(wt))
+    np.testing.assert_allclose(rs, np.asarray(ws), atol=1e-5)
+
+    # same bucket/count validation as the classifier artifact
+    with pytest.raises(ValueError, match="multiple of data_parallel"):
+        export_caption_servable(
+            trainer.model, variables, v, shape, str(tmp_path / "bad.vctaot"),
+            batch_sizes=(3,), beam_width=2, max_len=6, data_parallel=2,
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        export_caption_servable(
+            trainer.model, variables, v, shape, str(tmp_path / "bad.vctaot"),
+            batch_sizes=(2,), beam_width=2, max_len=6, data_parallel=0,
+        )

@@ -491,9 +491,11 @@ def test_fold_input_scale_into_stem(name, size):
     """conv(x/255) == conv_with_folded_kernel(x) for every family.
 
     Pinned to float32 conv precision: this checks the algebraic fold, and
-    XLA:CPU's DEFAULT conv precision is bf16-class (measured ~3e-3 relative
-    on a single stem conv, algorithm-dependent per host), which drowns the
-    1e-4 tolerance. Under f32 the two scalings agree to ~2e-7.
+    a backend's DEFAULT conv precision can be bf16-class (the TPU MXU:
+    measured ~3e-3 relative on a single stem conv), which drowns the 1e-4
+    tolerance. Under f32 the two scalings agree to ~2e-7 on every backend,
+    so the test is meaningful on the CPU lane and under VCT_TEST_TPU=1
+    alike.
     """
     from vct.models.backbones import BACKBONES
     from vct.models.backbones.port import fold_input_scale_into_stem

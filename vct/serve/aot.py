@@ -58,6 +58,31 @@ def _batch_sharding(n_dev: int):
     return NamedSharding(mesh, PartitionSpec("data"))
 
 
+def _make_stager(n_devices: int):
+    """Host chunk -> device array, batch-sharded over the artifact's mesh
+    when it was exported data-parallel. The sharding is built lazily on the
+    first call so loading an artifact never touches devices; shared by the
+    classifier and caption servables."""
+    state = {"sharding": None}
+
+    def stage(chunk):
+        import jax
+        import jax.numpy as jnp
+
+        if n_devices > 1 and state["sharding"] is None:
+            if len(jax.devices()) < n_devices:
+                raise ValueError(
+                    f"artifact was exported for {n_devices} devices; "
+                    f"only {len(jax.devices())} are visible"
+                )
+            state["sharding"] = _batch_sharding(n_devices)
+        if state["sharding"] is not None:
+            return jax.device_put(chunk, state["sharding"])
+        return jnp.asarray(chunk)
+
+    return stage
+
+
 def _check_platform(platform: str) -> None:
     """Raise a clear error when an artifact was lowered for a platform other
     than the default backend (artifacts are per-platform: the serialized
@@ -281,6 +306,7 @@ def export_caption_servable(
     max_len: int = 30,
     device_sampling: bool = False,
     raw_len: Optional[int] = None,
+    data_parallel: int = 1,
 ) -> None:
     """Serialize the FULL captioning pipeline per batch bucket: CNN features
     -> encoder -> jitted beam search, weights baked in as constants.
@@ -304,6 +330,13 @@ def export_caption_servable(
     and run selection + /255 on device before the encoder — serve with
     ``CaptionAotServable.caption_raw``. ``raw_len`` sizes the raw capacity
     (default 2x T).
+
+    ``data_parallel=N`` exports every executable sharded batch-wise over an
+    N-device ``Mesh`` (same contract as the classifier artifact: weights
+    replicate by propagation, loading requires exactly N devices, every
+    batch bucket must be a multiple of N). The whole pipeline — CNN,
+    encoder, the beam-search loop's per-step top-k — is batch-parallel, so
+    the captioning rate scales with chips over ICI from ONE artifact file.
     """
     import jax
     import jax.numpy as jnp
@@ -343,11 +376,30 @@ def export_caption_servable(
                 model, variables, video, beam_width=beam_width, max_len=max_len
             )
 
-    fwd = jax.jit(forward)
+    n_dev = int(data_parallel)
+    if n_dev < 1:
+        raise ValueError(f"data_parallel must be >= 1, got {n_dev}")
+    if n_dev > 1:
+        if len(jax.devices()) < n_dev:
+            raise ValueError(
+                f"data_parallel={n_dev} but only {len(jax.devices())} "
+                "devices are visible at export time"
+            )
+        sharding = _batch_sharding(n_dev)
+        n_args = 2 if device_sampling else 1
+        # beam_search returns (tokens, scores), both batch-leading.
+        fwd = jax.jit(forward, in_shardings=(sharding,) * n_args,
+                      out_shardings=(sharding, sharding))
+    else:
+        fwd = jax.jit(forward)
     blobs = {}
     for b in sorted(set(int(b) for b in batch_sizes)):
         if b <= 0:
             raise ValueError(f"batch sizes must be positive, got {b}")
+        if b % n_dev:
+            raise ValueError(
+                f"batch bucket {b} is not a multiple of data_parallel={n_dev}"
+            )
         if device_sampling:
             specs = (
                 jax.ShapeDtypeStruct(
@@ -367,6 +419,7 @@ def export_caption_servable(
         "vocab": vocab.to_dict(),
         "input_shape": list(input_shape),
         "batch_sizes": sorted(blobs),
+        "n_devices": n_dev,
         "beam_width": int(beam_width),
         "max_len": int(max_len),
         "start_token": 1,
@@ -393,6 +446,7 @@ def export_from_caption_checkpoint(
     width: int = 224,
     device_sampling: bool = False,
     raw_len: Optional[int] = None,
+    data_parallel: int = 1,
 ) -> None:
     """Build a caption artifact straight from a ``CaptionTrainer`` checkpoint.
 
@@ -419,6 +473,7 @@ def export_from_caption_checkpoint(
         max_len=max_len if max_len is not None else cfg.max_caption_len,
         device_sampling=device_sampling,
         raw_len=raw_len,
+        data_parallel=data_parallel,
     )
 
 
@@ -435,7 +490,7 @@ class AotServable:
         self.raw_len: Optional[int] = manifest.get("raw_len")
         self._fns = fns  # batch size -> Exported
         self._buckets = sorted(fns)
-        self._sharding = None
+        self._stage = _make_stager(self.n_devices)
 
     @property
     def buckets(self) -> Tuple[int, ...]:
@@ -472,21 +527,6 @@ class AotServable:
 
     def check_platform(self) -> None:
         _check_platform(self.platform)
-
-    def _stage(self, chunk):
-        import jax
-        import jax.numpy as jnp
-
-        if self.n_devices > 1 and self._sharding is None:
-            if len(jax.devices()) < self.n_devices:
-                raise ValueError(
-                    f"artifact was exported for {self.n_devices} devices; "
-                    f"only {len(jax.devices())} are visible"
-                )
-            self._sharding = _batch_sharding(self.n_devices)
-        if self._sharding is not None:
-            return jax.device_put(chunk, self._sharding)
-        return jnp.asarray(chunk)
 
     def _run_chunks(self, arrays: Tuple[np.ndarray, ...]) -> np.ndarray:
         """Stream batches through the bucketed executables (shared
@@ -562,11 +602,14 @@ class CaptionAotServable:
         # absent in artifacts exported before the raw contract existed
         self.device_sampling: bool = bool(manifest.get("device_sampling"))
         self.raw_len: Optional[int] = manifest.get("raw_len")
+        # absent in artifacts exported before data-parallel caption export
+        self.n_devices: int = int(manifest.get("n_devices", 1))
         from vct.caption.vocab import Vocabulary
 
         self.vocab = Vocabulary.from_dict(manifest["vocab"])
         self._fns = fns
         self._buckets = sorted(fns)
+        self._stage = _make_stager(self.n_devices)
 
     @property
     def buckets(self) -> Tuple[int, ...]:
@@ -618,10 +661,8 @@ class CaptionAotServable:
             raise ValueError(
                 f"expected (N,) + {self.input_shape}, got {clips.shape}"
             )
-        import jax.numpy as jnp
-
         return _run_bucketed(
-            self._fns, self._buckets, (clips,), jnp.asarray,
+            self._fns, self._buckets, (clips,), self._stage,
             empty=self._empty(),
         )
 
@@ -657,10 +698,8 @@ class CaptionAotServable:
                 f"range [{lengths.min()}, {lengths.max()}] — truncate clips "
                 "to the artifact's raw capacity before calling"
             )
-        import jax.numpy as jnp
-
         return _run_bucketed(
-            self._fns, self._buckets, (raw, lengths), jnp.asarray,
+            self._fns, self._buckets, (raw, lengths), self._stage,
             empty=self._empty(),
         )
 
@@ -757,8 +796,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     batch_sizes = [int(b) for b in args.batches.split(",") if b.strip()]
 
     if is_caption:
-        if args.data_parallel != 1:
-            parser.error("--data_parallel applies to classifier artifacts only")
         if args.device_sampling not in (None, "interval"):
             parser.error(
                 "caption artifacts support --device_sampling interval only "
@@ -777,6 +814,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             width=args.width if args.width is not None else 224,
             device_sampling=args.device_sampling == "interval",
             raw_len=args.raw_len,
+            data_parallel=args.data_parallel,
         )
         csv = CaptionAotServable.load(args.out)
         print(
@@ -785,6 +823,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             f"max_len={csv.max_len} "
             + (f"device_sampling=interval raw_len={csv.raw_len} "
                if csv.device_sampling else "")
+            + (f"data_parallel={csv.n_devices} " if csv.n_devices > 1 else "")
             + f"vocab={len(csv.vocab)} words"
         )
         return 0
