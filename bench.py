@@ -36,9 +36,9 @@ Modes (env VCT_BENCH_MODE):
     docs/performance.md.
 
 Knobs: VCT_BENCH_MODEL=mamba (the deployed prod config), VCT_BENCH_BATCH
-(clip batch; default 32, caption mode 16 — measured best-throughput
-defaults, see docs/performance.md), VCT_BENCH_SAMPLING (sampling mode),
-VCT_BENCH_ITERS.
+(clip batch; default 32 — measured best throughput; caption mode defaults
+16, where 32 measures ~4% more throughput at double the latency — see
+docs/performance.md), VCT_BENCH_SAMPLING (sampling mode), VCT_BENCH_ITERS.
 
 Baseline: the reference's best derived GPU inference throughput is
 ~156 clips/s (lstm best entry, ``dumps/medsos_checkpoint.json``; see
