@@ -19,11 +19,22 @@ from vct.utils.hostcache import machine_cache_dir  # noqa: E402
 
 
 def _needs_cpu_reexec() -> bool:
-    return (
-        os.environ.get("VCT_TEST_REEXEC") != "1"
-        and os.environ.get("VCT_TEST_TPU") != "1"
-        and os.environ.get("JAX_PLATFORMS", "axon") != "cpu"
-    )
+    if (
+        os.environ.get("VCT_TEST_REEXEC") == "1"
+        or os.environ.get("VCT_TEST_TPU") == "1"
+    ):
+        return False
+    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu":
+        return True
+    # The env CLAIMS cpu — but this machine's sitecustomize force-registers
+    # the TPU backend regardless of JAX_PLATFORMS, so `JAX_PLATFORMS=cpu
+    # pytest tests/foo.py` would silently run on the chip (where default
+    # conv precision is bf16-class and mesh tests see one device). Trust
+    # the actual backend, not the env var; the re-exec child's scrubbed
+    # PYTHONPATH drops the sitecustomize so it really lands on CPU.
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def pytest_configure(config):
