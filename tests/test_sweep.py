@@ -66,6 +66,56 @@ def test_store_invalid_json(tmp_path):
     assert SweepStore(str(p)).load() == []
 
 
+def test_store_append_is_journaled_o1(tmp_path):
+    """664 appends (the reference's dumps/medsos_checkpoint.json scale) must
+    journal one line each, not rewrite the whole list per append: the
+    canonical JSON is written at most ceil(664/COMPACT_EVERY)+1 times."""
+    from vct.sweep import store as store_mod
+
+    store = SweepStore(str(tmp_path / "s.json"))
+    writes = {"n": 0}
+    orig_save = SweepStore.save
+
+    def counting_save(self, results):
+        writes["n"] += 1
+        orig_save(self, results)
+
+    store.save = counting_save.__get__(store)
+    for i in range(664):
+        store.append({"config": {"i": i}, "metrics": {"f1_score": i / 664.0}})
+    assert writes["n"] <= 664 // store_mod.COMPACT_EVERY + 1
+    entries = store.load()
+    assert len(entries) == 664
+    assert [e["config"]["i"] for e in entries] == list(range(664))
+    assert store.best()["config"]["i"] == 663
+    # journal survives a torn tail write
+    with open(store.journal_path, "a") as f:
+        f.write('{"config": {"i": 999')  # crash mid-append
+    assert len(store.load()) == 664
+    # explicit compaction folds everything into the canonical JSON
+    store.compact()
+    assert not os.path.exists(store.journal_path)
+    assert len(json.load(open(store.path))) == 664
+
+
+def test_trials_journal_o1_and_legacy_migration(tmp_path):
+    from vct.sweep.strategies import _Trials
+
+    # legacy JSON-list file still loads, first append migrates to JSONL
+    legacy = tmp_path / "trials.json"
+    legacy.write_text(json.dumps([{"config": {"a": 1}, "value": 0.1}]))
+    t = _Trials(str(legacy))
+    assert t.trials == [{"config": {"a": 1}, "value": 0.1}]
+    t.append({"a": 2}, 0.2)
+    t.append({"a": 3}, 0.3)
+    raw = legacy.read_text()
+    assert not raw.startswith("[")  # migrated to JSONL
+    assert len(raw.strip().splitlines()) == 3
+    # resume reads the JSONL back
+    t2 = _Trials(str(legacy))
+    assert [x["value"] for x in t2.trials] == [0.1, 0.2, 0.3]
+
+
 def test_grid_search_covers_product_and_resumes(tmp_path):
     cfg = _cfg(tmp_path)
     space = {"model.rnn_type": ["lstm", "gru"], "model.rnn_layer": [1, 2]}
@@ -96,7 +146,11 @@ def test_bayesian_beats_center_seeking(tmp_path):
     trials_path = str(tmp_path / "trials.json")
     bayesian_optimization(r, space, n_trials=30, n_warmup=8, seed=1,
                           trials_path=trials_path)
-    trials = json.load(open(trials_path))
+    def read_trials():  # JSONL journal (one line per trial, O(1) appends)
+        with open(trials_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    trials = read_trials()
     assert len(trials) == 30
     warmup_best = max(t["value"] for t in trials[:8])
     guided_best = max(t["value"] for t in trials[8:])
@@ -104,7 +158,7 @@ def test_bayesian_beats_center_seeking(tmp_path):
     # resume continues from the journal instead of restarting
     r2 = StubRunner(cfg, SweepStore(cfg.sweep.checkpoint_file), objective)
     bayesian_optimization(r2, space, n_trials=32, seed=1, trials_path=trials_path)
-    assert len(json.load(open(trials_path))) == 32
+    assert len(read_trials()) == 32
     assert len(r2.calls) == 2
 
 

@@ -57,6 +57,9 @@ def main(argv=None) -> int:
     else:
         print(f"Unknown strategy: {strategy}. Available: {sorted(STRATEGIES)}")
         return 2
+    # Fold the O(1) append journal into the canonical reference-schema JSON
+    # so the sweep's final artifact is one self-contained list.
+    runner.store.compact()
     print("Best result:", json.dumps(best, indent=2) if best else None)
     return 0
 

@@ -202,14 +202,15 @@ class SweepRunner:
                         shutil.rmtree(best_path)
                     shutil.copytree(cfg.train.model_path, best_path)
                     print(f"Saving best model: {best_model_filename}")
-                self.best_results.append(
-                    {
-                        "config": dict(config),
-                        "metrics": metrics.to_dict(),
-                        "best_model_filename": best_model_filename,
-                    }
-                )
-                self.store.save(self.best_results)
+                entry = {
+                    "config": dict(config),
+                    "metrics": metrics.to_dict(),
+                    "best_model_filename": best_model_filename,
+                }
+                self.best_results.append(entry)
+                # O(1) journaled append (store compacts into the canonical
+                # JSON periodically) — not a full-list rewrite per trial.
+                self.store.append(entry)
             elif metrics.f1 > best_f1:
                 best_f1 = metrics.f1
         return best_f1, best_model_filename

@@ -51,21 +51,44 @@ def grid_search(runner: SweepRunner, space: Dict, max_trials: Optional[int] = No
 
 
 class _Trials:
-    """JSON-journaled trial history (the optuna-sqlite resume analogue)."""
+    """Journaled trial history (the optuna-sqlite resume analogue).
+
+    Appends are one JSON line each — O(1), not a full-list rewrite per trial
+    (at the reference's 664-entry sweep scale that rewrite is O(n^2) bytes).
+    Loading sniffs the format: a legacy ``[``-prefixed JSON list still reads,
+    and its first new append migrates the file to JSONL."""
 
     def __init__(self, path: str):
         self.path = path
         self.trials: List[dict] = []
+        self._legacy = False
         if path and os.path.exists(path):
             with open(path) as f:
-                self.trials = json.load(f)
+                head = f.read(1)
+                f.seek(0)
+                if head == "[":
+                    self.trials = json.load(f)
+                    self._legacy = True
+                else:
+                    self.trials = [
+                        json.loads(line) for line in f if line.strip()
+                    ]
 
     def append(self, config: dict, value: float):
-        self.trials.append({"config": config, "value": value})
-        if self.path:
-            os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+        entry = {"config": config, "value": value}
+        self.trials.append(entry)
+        if not self.path:
+            return
+        os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+        if self._legacy:
+            # one-time migration: rewrite the legacy JSON list as JSONL
             with open(self.path, "w") as f:
-                json.dump(self.trials, f, indent=2)
+                for t in self.trials:
+                    f.write(json.dumps(t) + "\n")
+            self._legacy = False
+            return
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
 
 
 def _dim_logpdf(dim: SpaceDim, value, observations: List) -> float:
