@@ -130,6 +130,45 @@ def test_model_forward_shapes(tiny_setup):
 
 
 @pytest.mark.slow
+def test_1s2vt_variant_trains_and_restores(tmp_path):
+    """The 1s2vt multi-layer model (caption.encoder_layers,
+    1s2vt_models.py:233,301) through the full trainer: loss decreases, the
+    checkpoint manifest records the depth, and restore rebuilds the same
+    architecture (multi-layer decoder params present, decode runs)."""
+    from vct.caption.train import CaptionTrainer, restore_caption_trainer
+
+    v = _vocab()
+    cfg = CaptionConfig(
+        cnn_backbone="resnet18", cnn_output_size=16, hidden_size=16,
+        num_frames=3, max_caption_len=6, epochs=2, beam_width=2,
+        learning_rate=3e-3, encoder_layers=2,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    trainer = CaptionTrainer(cfg, v)
+    rng = np.random.RandomState(0)
+    videos = rng.rand(4, 3, 32, 32, 3).astype(np.float32)
+    captions = np.stack([
+        encode_caption("a man is cooking", v, 6),
+        encode_caption("a dog runs fast", v, 6),
+        encode_caption("a man runs", v, 6),
+        encode_caption("a dog runs", v, 6),
+    ])
+    state = trainer.init_state(jax.random.PRNGKey(0), videos, captions)
+    assert "gru_w_ih_l1" in state.params["decoder"]  # stacked decoder
+    state, losses = trainer.fit(
+        state, videos, captions, batch_size=2,
+        checkpoint_dir=cfg.checkpoint_dir, log=False,
+    )
+    assert losses[-1] < losses[0]
+    trainer2, state2, cfg2 = restore_caption_trainer(
+        cfg.checkpoint_dir, height=32, width=32
+    )
+    assert cfg2.encoder_layers == 2
+    words = trainer2.caption_videos(state2, videos[:1])
+    assert isinstance(words[0], list)
+
+
+@pytest.mark.slow
 def test_teacher_forced_training_reduces_loss(tiny_setup, tmp_path):
     trainer, _, videos, captions, _ = tiny_setup
     # fresh state: fit() donates its input state buffers

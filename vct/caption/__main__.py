@@ -82,6 +82,8 @@ def main(argv=None) -> int:
         cnn_backbone=grab("--backbone", "resnet50"),
         cnn_output_size=int(grab("--cnn_output_size", 512)),
         hidden_size=int(grab("--hidden_size", 512)),
+        # 4 = the 1s2vt variant (4-layer encoder/decoder GRUs)
+        encoder_layers=int(grab("--encoder_layers", 1)),
         num_frames=int(grab("--num_frames", 30)),
         max_caption_len=int(grab("--max_caption_len", 30)),
         beam_width=int(grab("--beam_width", 3)),

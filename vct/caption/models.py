@@ -49,15 +49,30 @@ class FrameEncoderCNN(nn.Module):
 
 
 class EncoderRNN(nn.Module):
+    """Linear embed + (multi-layer) GRU.
+
+    v2 uses one layer (``beam_search.py:230-243``); the 1s2vt variant stacks
+    four (``s2vt/1s2vt_models.py:233`` — ``nn.GRU(..., num_layers=4)``).
+    With ``num_layers == 1`` the final hidden is (B, H); with more layers it
+    is the per-layer stack (B, num_layers, H) — torch's ``h_n`` with the
+    layer axis behind batch — which seeds the equally-deep decoder GRU."""
+
     hidden_size: int
     dropout: float = 0.1
+    num_layers: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):  # (B, T, F)
         x = nn.Dense(self.hidden_size, name="embedding")(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        y = GRU(hidden_size=self.hidden_size, num_layers=1, name="gru")(x)
-        return y, y[:, -1, :]  # outputs, final hidden
+        gru = GRU(
+            hidden_size=self.hidden_size, num_layers=self.num_layers,
+            name="gru",
+        )
+        if self.num_layers == 1:
+            y = gru(x)
+            return y, y[:, -1, :]  # outputs, final hidden
+        return gru(x, return_final=True)  # outputs, (B, L, H)
 
 
 class LuongAttention(nn.Module):
@@ -75,50 +90,83 @@ class LuongAttention(nn.Module):
 
 class AttnDecoderStep(nn.Module):
     """One decoder step. Parameters are shared across steps, so the same
-    module drives teacher forcing, greedy, and beam decode."""
+    module drives teacher forcing, greedy, and beam decode.
+
+    ``num_layers == 1`` is the v2 decoder (``beam_search.py:311-352``);
+    ``num_layers > 1`` is the 1s2vt variant (``s2vt/1s2vt_models.py:
+    296-341``): a stacked GRU whose layer 0 sees [embed; context] (2H) and
+    whose attention QUERY is the last layer's hidden only
+    (``1s2vt_models.py:333-336`` — ``hidden[-1]``)."""
 
     hidden_size: int
     vocab_size: int
     dropout: float = 0.1
+    num_layers: int = 1
 
     @nn.compact
     def __call__(self, token, hidden, encoder_outputs, deterministic: bool = True):
-        """token (B,) int32; hidden (B, H); encoder_outputs (B, T, H).
+        """token (B,) int32; hidden (B, H) for num_layers == 1 else
+        (B, num_layers, H); encoder_outputs (B, T, H).
 
-        Returns (logits (B, V), new_hidden (B, H), attn_weights (B, T)).
+        Returns (logits (B, V), new_hidden (same shape as hidden),
+        attn_weights (B, T)).
         """
         emb = nn.Embed(self.vocab_size, self.hidden_size, name="embedding")(token)
         emb = nn.Dropout(self.dropout, deterministic=deterministic)(emb)
+        query = hidden if self.num_layers == 1 else hidden[:, -1]
         context, weights = LuongAttention(self.hidden_size, name="attention")(
-            hidden, encoder_outputs
+            query, encoder_outputs
         )
         x = jnp.concatenate([emb, context], axis=-1)  # (B, 2H)
 
-        # Single fused GRU cell over the 2H input (torch GRU(2H -> H) step,
-        # beam_search.py:322 gru). Gate order [r, z, n] as everywhere else.
+        # Fused GRU cells over the stacked layers (torch GRU(2H -> H,
+        # num_layers=L) single step, beam_search.py:322 / 1s2vt:301).
+        # Gate order [r, z, n] as everywhere else. Layer-0 params keep the
+        # unsuffixed v2 names so single-layer checkpoints stay loadable.
         H = self.hidden_size
         k = float(H) ** -0.5  # torch init: U(-1/sqrt(H), 1/sqrt(H))
 
         def init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -k, k)
 
-        w_ih = self.param("gru_w_ih", init, (2 * H, 3 * H))
-        w_hh = self.param("gru_w_hh", init, (H, 3 * H))
-        b_ih = self.param("gru_b_ih", init, (3 * H,))
-        b_hh = self.param("gru_b_hh", init, (3 * H,))
-        xp = x @ w_ih + b_ih
-        hp = hidden @ w_hh + b_hh
-        r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
-        z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
-        nq = jnp.tanh(xp[:, 2 * H :] + r * hp[:, 2 * H :])
-        new_hidden = (1.0 - z) * nq + z * hidden
+        def gru_cell(x_in, h, layer):
+            sfx = "" if layer == 0 else f"_l{layer}"
+            w_ih = self.param(f"gru_w_ih{sfx}", init, (x_in.shape[-1], 3 * H))
+            w_hh = self.param(f"gru_w_hh{sfx}", init, (H, 3 * H))
+            b_ih = self.param(f"gru_b_ih{sfx}", init, (3 * H,))
+            b_hh = self.param(f"gru_b_hh{sfx}", init, (3 * H,))
+            xp = x_in @ w_ih + b_ih
+            hp = h @ w_hh + b_hh
+            r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+            z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
+            nq = jnp.tanh(xp[:, 2 * H :] + r * hp[:, 2 * H :])
+            return (1.0 - z) * nq + z * h
 
-        logits = nn.Dense(self.vocab_size, name="out")(new_hidden)
+        if self.num_layers == 1:
+            new_hidden = gru_cell(x, hidden, 0)
+            top = new_hidden
+        else:
+            layer_in, states = x, []
+            for i in range(self.num_layers):
+                layer_in = gru_cell(layer_in, hidden[:, i], i)
+                states.append(layer_in)
+            new_hidden = jnp.stack(states, axis=1)  # (B, L, H)
+            top = layer_in
+
+        logits = nn.Dense(self.vocab_size, name="out")(top)
         return logits, new_hidden, weights
 
 
 class S2VTModel(nn.Module):
-    """Full encoder-decoder with teacher-forced forward."""
+    """Full encoder-decoder with teacher-forced forward.
+
+    ``rnn_layers`` selects the variant: 1 = the v2 model
+    (``beam_search.py:229-382``), 4 = the 1s2vt model
+    (``s2vt/1s2vt_models.py:227-378``: 4-layer encoder GRU whose per-layer
+    final hiddens seed the 4-layer decoder GRU, attention queried by the
+    last layer's hidden only). Encoder and decoder share the depth because
+    the encoder hidden initializes the decoder hidden directly
+    (``1s2vt_models.py:313`` decoder_hidden = encoder_hidden)."""
 
     vocab_size: int
     cnn_backbone: str = "resnet50"
@@ -127,6 +175,7 @@ class S2VTModel(nn.Module):
     max_len: int = 30
     start_token: int = 1
     dropout: float = 0.1
+    rnn_layers: int = 1
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -136,9 +185,12 @@ class S2VTModel(nn.Module):
             dtype=self.dtype,
             name="cnn",
         )
-        self.encoder = EncoderRNN(self.hidden_size, self.dropout, name="encoder")
+        self.encoder = EncoderRNN(
+            self.hidden_size, self.dropout, self.rnn_layers, name="encoder"
+        )
         self.decoder_step = AttnDecoderStep(
-            self.hidden_size, self.vocab_size, self.dropout, name="decoder"
+            self.hidden_size, self.vocab_size, self.dropout, self.rnn_layers,
+            name="decoder",
         )
 
     def encode(self, video, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:

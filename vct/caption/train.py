@@ -64,6 +64,7 @@ def build_captioner(cfg: CaptionConfig, vocab_size: int):
         hidden_size=cfg.hidden_size,
         max_len=cfg.max_caption_len,
         dropout=cfg.dropout,
+        rnn_layers=cfg.encoder_layers,
     )
 
 

@@ -266,6 +266,11 @@ class CaptionConfig:
     cnn_backbone: str = "resnet50"
     cnn_output_size: int = 512
     hidden_size: int = 512
+    # GRU depth for the s2vt encoder AND decoder (they must match — the
+    # encoder's per-layer final hiddens seed the decoder's stack). 1 = the
+    # v2 model (beam_search.py:235 nn.GRU default), 4 = the 1s2vt variant
+    # (1s2vt_models.py:233,301 num_layers=4, last-layer attention query).
+    encoder_layers: int = 1
     num_frames: int = 30
     max_caption_len: int = 30
     freq_threshold: int = 1

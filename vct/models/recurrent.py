@@ -146,13 +146,24 @@ class _RecurrentBase(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_final: bool = False):
+        """x (B, T, in) -> outputs (B, T, H[*2 if bidir]).
+
+        ``return_final=True`` additionally returns the per-layer final
+        hidden states (B, num_layers, H) — torch's ``h_n`` with the layer
+        axis moved behind batch (for GRU, layer l's final hidden IS its
+        last output; for LSTM this is h, not the cell state c).
+        Unidirectional only (the caption encoders that need it are)."""
+        if return_final and self.bidirectional:
+            raise ValueError("return_final supports unidirectional RNNs only")
         if (
             self.scan_impl == "pallas"
             and not self.bidirectional
             and self.num_layers >= 2
+            and not return_final
         ):
             return self._fused_stack(x)
+        finals = []
         for layer in range(self.num_layers):
             fwd = self._direction(x, layer, "", reverse=False)
             if self.bidirectional:
@@ -160,6 +171,9 @@ class _RecurrentBase(nn.Module):
                 x = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 x = fwd
+            finals.append(x[:, -1, :])
+        if return_final:
+            return x, jnp.stack(finals, axis=1)  # (B, L, H)
         return x
 
 
