@@ -140,6 +140,15 @@ def main() -> int:
             0, cfg.model.num_classes, batch
         ).astype(np.int64)
         state = trainer.init_state(jax.random.PRNGKey(0), x)
+        if os.environ.get("VCT_BENCH_FEATURE_CACHE") == "1":
+            # Steady-state (epoch >= 2) throughput with train.feature_cache:
+            # the step consumes the cached backbone features, no conv stack.
+            metric += "_feature_cache"
+            trainer._feature_mode = True
+            feats = jax.jit(
+                lambda v, xx: trainer.model.apply(v, xx, features_only=True)
+            )({"params": state.params, **state.extra_vars}, jnp.asarray(x))
+            x = np.asarray(feats)
         step_fn = trainer._build_train_step()
         xb = jax.device_put(jnp.asarray(x))
         yb = jax.device_put(jnp.asarray(y))

@@ -129,6 +129,41 @@ def test_model_forward_shapes(tiny_setup):
     )
 
 
+def test_caption_feature_cache_identical_loss_trajectory(tmp_path, capsys):
+    """caption.feature_cache: frozen-backbone features extracted once,
+    fc/encoder/decoder trained from the block — per-epoch losses must EQUAL
+    the raw-clip path (bit-constant features, same shuffle stream)."""
+    from vct.caption.train import CaptionTrainer
+
+    v = _vocab()
+    rng = np.random.RandomState(0)
+    videos = rng.rand(4, 3, 32, 32, 3).astype(np.float32)
+    captions = np.stack([
+        encode_caption("a man is cooking", v, 6),
+        encode_caption("a dog runs fast", v, 6),
+        encode_caption("a man runs", v, 6),
+        encode_caption("a dog runs", v, 6),
+    ])
+    losses = {}
+    for flag in (False, True):
+        cfg = CaptionConfig(
+            cnn_backbone="resnet18", cnn_output_size=16, hidden_size=16,
+            num_frames=3, max_caption_len=6, epochs=2, learning_rate=3e-3,
+            dropout=0.0, feature_cache=flag,
+            checkpoint_dir=str(tmp_path / f"ck{flag}"),
+        )
+        trainer = CaptionTrainer(cfg, v)
+        state = trainer.init_state(jax.random.PRNGKey(0), videos, captions)
+        _, losses[flag] = trainer.fit(
+            state, videos, captions, batch_size=2,
+            checkpoint_dir=cfg.checkpoint_dir, log=True,
+            val=(videos[:2], captions[:2]),
+        )
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5,
+                               atol=1e-6)
+    assert "feature_cache: extracted" in capsys.readouterr().out
+
+
 @pytest.mark.slow
 def test_1s2vt_variant_trains_and_restores(tmp_path):
     """The 1s2vt multi-layer model (caption.encoder_layers,

@@ -399,3 +399,61 @@ def test_resume_after_early_stop_does_not_train_further(tmp_path):
     _, run2 = tr2.fit(s2, x, y, log=False)
     # history restored, and no further epochs trained
     assert run2.epoch_losses == run1.epoch_losses
+
+
+def test_feature_cache_identical_loss_trajectory(capsys):
+    """train.feature_cache: the cached path (backbone features extracted
+    once, head trained from the block) must produce THE SAME per-epoch loss
+    trajectory as the raw-clip path — stop_gradient + frozen params + fixed
+    batch_stats make the features bit-constant, so this is an equality, not
+    an approximation. Also checks val-loss parity (the val loader is
+    feature-cached too) and that the params land in the same place."""
+    x, y, names = generate_dummy_data(
+        num_samples=24, sequence_length=4, height=32, width=32, num_classes=4
+    )
+    xv, yv = x[:8], y[:8]
+
+    runs = {}
+    for flag in ("false", "true"):
+        cfg = _tiny_cfg(**{
+            "train.feature_cache": flag,
+            "train.epochs": "3",
+            "model.dropout": "0.0",  # dropout rng draws differ per path
+        })
+        tr = Trainer(cfg, names)
+        state = tr.init_state(jax.random.PRNGKey(0), x)
+        state, run = tr.fit(state, x, y, val=(xv, yv))
+        runs[flag] = (run, jax.device_get(state.params))
+
+    run_raw, p_raw = runs["false"]
+    run_fc, p_fc = runs["true"]
+    np.testing.assert_allclose(
+        run_fc.epoch_losses, run_raw.epoch_losses, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        run_fc.val_losses, run_raw.val_losses, rtol=1e-5, atol=1e-6
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6),
+        p_raw, p_fc,
+    )
+    out = capsys.readouterr().out
+    assert "feature_cache: extracted" in out
+
+
+def test_feature_cache_ignored_when_finetuning():
+    """finetune=True backprops through the conv stack — features are not
+    constant, so the cache must not engage."""
+    x, y, names = generate_dummy_data(
+        num_samples=8, sequence_length=4, height=32, width=32, num_classes=4
+    )
+    cfg = _tiny_cfg(**{
+        "train.feature_cache": "true",
+        "train.epochs": "1",
+        "model.finetune": "true",
+    })
+    tr = Trainer(cfg, names)
+    state = tr.init_state(jax.random.PRNGKey(0), x)
+    state, run = tr.fit(state, x, y, log=False)
+    assert tr._feature_mode is False
+    assert len(run.epoch_losses) == 1

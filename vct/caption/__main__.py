@@ -75,6 +75,7 @@ def main(argv=None) -> int:
 
     synthetic = has("--synthetic")
     do_eval = has("--eval")
+    feature_cache = has("--feature_cache")
     video_dir = grab("--video_dir")
     annotations_path = grab("--annotations")
     cfg = CaptionConfig(
@@ -91,6 +92,7 @@ def main(argv=None) -> int:
         learning_rate=float(grab("--lr", 1e-4)),
         checkpoint_dir=grab("--checkpoint_dir", "/tmp/vct_caption"),
         freq_threshold=int(grab("--freq_threshold", 1)),
+        feature_cache=feature_cache,
     )
     batch_size = int(grab("--batch_size", 4))
     if argv:

@@ -34,17 +34,32 @@ __all__ = ["FrameEncoderCNN", "EncoderRNN", "LuongAttention", "AttnDecoderStep",
 
 
 class FrameEncoderCNN(nn.Module):
+    """Frozen backbone + trainable projection (beam_search.py:260-294 — only
+    the feature extractor sits under no_grad, :290-291; the fc trains).
+
+    ``features_only`` returns the raw frozen-backbone features (the
+    bit-constant, cacheable part); ``from_features`` consumes such features
+    and applies just the trainable fc — caption.feature_cache plumbing."""
+
     backbone: str = "resnet50"
     output_size: int = 512
     finetune: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, frames):  # (N, H, W, 3)
-        bb, _ = build_backbone(self.backbone, dtype=self.dtype, module_name="cnn")
-        feats = bb(frames)
-        if not self.finetune:
-            feats = jax.lax.stop_gradient(feats)
+    def __call__(self, frames, *, from_features: bool = False,
+                 features_only: bool = False):  # (N, H, W, 3) | (N, F)
+        if from_features:
+            feats = frames
+        else:
+            bb, _ = build_backbone(
+                self.backbone, dtype=self.dtype, module_name="cnn"
+            )
+            feats = bb(frames)
+            if not self.finetune:
+                feats = jax.lax.stop_gradient(feats)
+            if features_only:
+                return feats
         return nn.Dense(self.output_size, name="fc")(feats)
 
 
@@ -193,13 +208,27 @@ class S2VTModel(nn.Module):
             name="decoder",
         )
 
-    def encode(self, video, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
+    # caption.feature_cache: the frozen backbone's output (98.5% of caption
+    # step time, docs/performance.md) is bit-constant across epochs — the
+    # trainer extracts it once and trains fc/encoder/decoder from the block.
+    supports_feature_cache = True
+
+    def encode(
+        self, video, deterministic: bool = True, from_features: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
         b, t = video.shape[0], video.shape[1]
         frames = video.reshape((b * t,) + video.shape[2:])
-        feats = self.cnn(frames).reshape(b, t, -1)
+        feats = self.cnn(frames, from_features=from_features).reshape(b, t, -1)
         return self.encoder(feats, deterministic=deterministic)
 
-    def __call__(self, video, targets=None, deterministic: bool = True):
+    def extract_features(self, video):
+        """(B, T, H, W, 3) -> frozen-backbone features (B, T, F)."""
+        b, t = video.shape[0], video.shape[1]
+        frames = video.reshape((b * t,) + video.shape[2:])
+        return self.cnn(frames, features_only=True).reshape(b, t, -1)
+
+    def __call__(self, video, targets=None, deterministic: bool = True,
+                 from_features: bool = False):
         """Teacher-forced (or free-running) decode.
 
         The decoder input at step i is targets[:, i] under teacher forcing
@@ -210,7 +239,9 @@ class S2VTModel(nn.Module):
 
         Returns log-probs (B, max_len, V).
         """
-        enc_out, hidden = self.encode(video, deterministic=deterministic)
+        enc_out, hidden = self.encode(
+            video, deterministic=deterministic, from_features=from_features
+        )
         b = video.shape[0]
         start = jnp.full((b,), self.start_token, jnp.int32)
         teacher = targets is not None

@@ -103,6 +103,10 @@ class CaptionTrainer:
         )
         self._train_step = None
         self._val_step = None
+        self._feat_fn = None
+        # caption.feature_cache: steps consume cached backbone features
+        # (set in fit; baked into the traced steps).
+        self._feature_mode = False
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_video, sample_caption) -> CaptionState:
@@ -134,6 +138,7 @@ class CaptionTrainer:
 
     def _build_train_step(self):
         model, tx = self.model, self._tx
+        apply_kwargs = {"from_features": True} if self._feature_mode else {}
 
         def train_step(state: CaptionState, video, captions, row_mask):
             rng, dropout_rng = jax.random.split(state.rng)
@@ -145,6 +150,7 @@ class CaptionTrainer:
                     captions,
                     deterministic=False,
                     rngs={"dropout": dropout_rng},
+                    **apply_kwargs,
                 )
                 return self._token_nll(logp, captions, row_mask)
 
@@ -166,10 +172,12 @@ class CaptionTrainer:
 
     def _build_val_step(self):
         model = self.model
+        apply_kwargs = {"from_features": True} if self._feature_mode else {}
 
         def val_step(params, extra_vars, video, captions, row_mask):
             logp = model.apply(
-                {"params": params, **extra_vars}, video, captions
+                {"params": params, **extra_vars}, video, captions,
+                **apply_kwargs,
             )
             return self._token_nll(logp, captions, row_mask)
 
@@ -213,9 +221,6 @@ class CaptionTrainer:
         from vct.caption.data import as_caption_loader
         from vct.utils.profiling import StepTimer, write_history
 
-        if self._train_step is None:
-            self._train_step = self._build_train_step()
-        step_fn = self._train_step
         cfg = self.cfg
         loader = as_caption_loader(videos, captions, batch_size)
         val_loader = None
@@ -224,6 +229,32 @@ class CaptionTrainer:
                 as_caption_loader(val[0], val[1], batch_size)
                 if isinstance(val, tuple) else as_caption_loader(val)
             )
+        feature_mode = bool(
+            getattr(cfg, "feature_cache", False)
+            and getattr(self.model, "supports_feature_cache", False)
+        )
+        if feature_mode != self._feature_mode:
+            self._feature_mode = feature_mode
+            self._train_step = None
+            self._val_step = None
+        if feature_mode:
+            # The caption pipeline is ~98.5% frozen CNN: extract its
+            # (bit-constant) features once, train fc/encoder/decoder from
+            # the block — identical loss trajectory, no per-epoch convs.
+            t0 = time.time()
+            fx, fy = self._extract_features(state, loader)
+            loader = as_caption_loader(fx, fy, batch_size)
+            if val_loader is not None:
+                vx, vy = self._extract_features(state, val_loader)
+                val_loader = as_caption_loader(vx, vy, batch_size)
+            if log:
+                print(
+                    f"feature_cache: extracted {fx.shape} backbone features "
+                    f"in {time.time() - t0:.1f}s"
+                )
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        step_fn = self._train_step
         ckpt_dir = checkpoint_dir or cfg.checkpoint_dir
         start_epoch = 0
         loss_arr: List[float] = []
@@ -297,6 +328,35 @@ class CaptionTrainer:
                 },
             )
         return state, loss_arr
+
+    def _extract_features(self, state: CaptionState, loader):
+        """One pass over the loader: frozen-backbone features (N, T, F) +
+        caption tensors, in loader order (same num_examples -> the shuffle
+        stream pairs them identically to the raw-clip path)."""
+        model = self.model
+        if self._feat_fn is None:
+            def feat_fn(params, extra_vars, video):
+                return model.apply(
+                    {"params": params, **extra_vars}, video,
+                    method=model.extract_features,
+                )
+
+            self._feat_fn = jax.jit(feat_fn)
+        chunks, caps, counts = [], [], []
+        for xb, yb, mask in loader.epoch():
+            n = int(np.sum(mask))
+            if n == 0:
+                continue
+            xd, _, _ = self._put_batch(xb, yb, mask)
+            chunks.append(self._feat_fn(state.params, state.extra_vars, xd))
+            counts.append(n)
+            caps.append(np.asarray(yb)[:n])
+        if not chunks:
+            raise ValueError("feature_cache: loader yielded no examples")
+        feats = np.concatenate(
+            [np.asarray(c)[:n] for c, n in zip(chunks, counts)], axis=0
+        )
+        return feats, np.concatenate(caps, axis=0)
 
     def _val_loss(self, state: CaptionState, val_loader) -> float:
         """Token-weighted mean CE over the val set; device scalars

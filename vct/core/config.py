@@ -187,6 +187,12 @@ class TrainConfig:
     resume: bool = False
     log_every: int = 0  # steps; 0 = per-epoch only
     checkpoint_keep: int = 3
+    # Frozen-backbone feature caching: extract the (bit-constant) backbone
+    # features once before the epoch loop and train the adapter/RNN/head
+    # from the cached (N, T, F) block — identical loss trajectory, no conv
+    # stack recompute per epoch. Ignored when model.finetune is true or the
+    # model family trains its convs (scratch CNNs).
+    feature_cache: bool = False
     # Observability: jax.profiler trace directory (first profiled epoch) and
     # per-epoch history JSON (lrcn/training_history.json counterpart).
     profile_dir: str = ""
@@ -284,6 +290,11 @@ class CaptionConfig:
     # every N steps (0 = one device fetch per epoch), per-run history JSON.
     log_every: int = 0
     history_path: str = ""
+    # Frozen-backbone feature caching (mirrors train.feature_cache): the
+    # caption pipeline is ~98.5% CNN (docs/performance.md) and the backbone
+    # is frozen, so its features are extracted once and fc/encoder/decoder
+    # train from the cached block — identical loss trajectory.
+    feature_cache: bool = False
 
 
 @_frozen()

@@ -66,8 +66,30 @@ class LRCN(nn.Module):
     scan_impl: str = "associative"
     dtype: Any = jnp.float32
 
+    # Frozen-backbone feature caching (train.feature_cache): the backbone
+    # output is stop_gradient-wrapped and its params frozen, so per-clip
+    # features are bit-constant across epochs — the engine can extract them
+    # once (features_only=True) and train the adapter/RNN/head from the
+    # cached (B, T, F) block (from_features=True) with identical semantics.
+    supports_feature_cache = True
+
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        *,
+        from_features: bool = False,
+        features_only: bool = False,
+    ):
+        if from_features:
+            return self._head(x, deterministic)
+        feats = self._backbone_features(x)
+        if features_only:
+            return feats
+        return self._head(feats, deterministic)
+
+    def _backbone_features(self, x):
         b, t = x.shape[0], x.shape[1]
         frames = x.reshape((b * t,) + x.shape[2:])
         seq_shard_on = False
@@ -110,7 +132,11 @@ class LRCN(nn.Module):
             from jax.sharding import PartitionSpec as P
 
             feats = jax.lax.with_sharding_constraint(feats, P("data", None, None))
+        return feats
 
+    def _head(self, feats, deterministic):
+        """Adapter -> temporal stack -> pool -> classifier over (B, T, F)."""
+        b = feats.shape[0]
         if self.adapt_mode:
             feats = AdaptDSL(
                 out_size=self.rnn_input_size,

@@ -51,18 +51,35 @@ class VideoMamba(nn.Module):
             return x.reshape(x.shape[0], -1)
         raise ValueError(f"Unknown temporal mode: {self.temporal_mode}")
 
+    # Frozen-backbone feature caching (train.feature_cache): backbone
+    # features are bit-constant across epochs; the engine extracts them once
+    # and trains adapt/mamba/head from the cached (B, T, F) block.
+    supports_feature_cache = True
+
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        *,
+        from_features: bool = False,
+        features_only: bool = False,
+    ):
         del deterministic
         b, t = x.shape[0], x.shape[1]
-        frames = x.reshape((b * t,) + x.shape[2:])
+        if from_features:
+            feats = x.reshape(b * t, x.shape[-1])
+        else:
+            frames = x.reshape((b * t,) + x.shape[2:])
 
-        backbone, _ = build_backbone(
-            self.cnn_backbone, dtype=self.dtype, module_name="cnn_backbone"
-        )
-        feats = backbone(frames)
-        if not self.finetune:
-            feats = jax.lax.stop_gradient(feats)
+            backbone, _ = build_backbone(
+                self.cnn_backbone, dtype=self.dtype, module_name="cnn_backbone"
+            )
+            feats = backbone(frames)
+            if not self.finetune:
+                feats = jax.lax.stop_gradient(feats)
+            if features_only:
+                return feats.reshape(b, t, -1)
 
         feats = nn.Dense(self.d_model, name="adapt")(feats)
         feats = feats.reshape(b, t, self.d_model)

@@ -78,6 +78,7 @@ class SweepRunner:
             cfg.train.grad_clip,
             None if weights is None else np.asarray(weights).tobytes(),
             cfg.mesh.donate,
+            cfg.train.feature_cache,  # baked into the traced step's apply
         )
 
     def _share_compiled_steps(self, trainer, key: tuple) -> None:

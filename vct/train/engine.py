@@ -163,6 +163,11 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._val_step = None
+        self._feat_fn = None
+        # train.feature_cache: train/val steps consume cached backbone
+        # features instead of raw clips (set in fit; baked into the traced
+        # steps, so flipping it rebuilds them).
+        self._feature_mode = False
         # Batches must divide evenly over the mesh data axis; pad with
         # mask-0 rows up to the next multiple (loss/metrics ignore padding).
         data_size = self.mesh.shape["data"]
@@ -299,6 +304,11 @@ class Trainer:
         tx = self._tx
         donate = self.cfg.mesh.donate
 
+        # from_features is only a kwarg on feature-cache-capable models —
+        # pass it solely when the mode is on, so scratch CNNs and other
+        # families keep their plain signature.
+        apply_kwargs = {"from_features": True} if self._feature_mode else {}
+
         def train_step(state: TrainState, xb, yb, mask):
             rng, dropout_rng = jax.random.split(state.rng)
             # Mutable collections (batch_stats in the scratch CNN models)
@@ -313,6 +323,7 @@ class Trainer:
                     deterministic=False,
                     rngs={"dropout": dropout_rng},
                     mutable=mutable,
+                    **apply_kwargs,
                 )
                 loss, aux = self._loss_fn(logits, yb, mask)
                 return loss, (aux, new_vars)
@@ -366,6 +377,35 @@ class Trainer:
             put_sharded(np.asarray(mask, np.float32), shard),
         )
 
+    def _extract_features(self, state: TrainState, loader, shard):
+        """One pass over the loader: backbone features (N, T, F) + labels,
+        in loader order (so the shuffle stream pairs them identically to the
+        raw-clip path — same num_examples, same permutations)."""
+        model = self.model
+        if self._feat_fn is None:
+            def feat_fn(params, extra_vars, xb):
+                return model.apply(
+                    {"params": params, **extra_vars}, xb, features_only=True
+                )
+
+            self._feat_fn = self._with_mesh(jax.jit(feat_fn))
+        chunks, labels, counts = [], [], []
+        for xb, yb, mask in loader.epoch():
+            n = int(np.sum(mask))
+            if n == 0:
+                continue
+            xbp, ybp, maskp = self._pad_batch(xb, yb, mask)
+            xd, _, _ = self._put_batch(xbp, ybp, maskp, shard)
+            chunks.append(self._feat_fn(state.params, state.extra_vars, xd))
+            counts.append(n)
+            labels.append(np.asarray(yb)[:n])
+        if not chunks:
+            raise ValueError("feature_cache: loader yielded no examples")
+        feats = np.concatenate(
+            [np.asarray(c)[:n] for c, n in zip(chunks, counts)], axis=0
+        )
+        return feats, np.concatenate(labels, axis=0)
+
     def _with_mesh(self, fn):
         """Run a jitted step inside the mesh context so bare-PartitionSpec
         sharding constraints (model.seq_shard) resolve axis names."""
@@ -412,10 +452,36 @@ class Trainer:
                 if isinstance(val, tuple)
                 else as_loader(val, None, t.batch_size)
             )
+        shard = batch_sharding(self.mesh)
+        feature_mode = (
+            t.feature_cache
+            and not self.cfg.model.finetune
+            and getattr(self.model, "supports_feature_cache", False)
+        )
+        if feature_mode != self._feature_mode:
+            self._feature_mode = feature_mode
+            self._train_step = None
+            self._val_step = None
+        if feature_mode:
+            # Frozen backbone => per-clip features are bit-constant across
+            # epochs (stop_gradient + frozen params + fixed batch_stats).
+            # Extract them ONCE, then every epoch trains adapter/RNN/head
+            # from the cached block — identical loss trajectory (tested),
+            # no conv-stack recompute per epoch.
+            t0 = time.time()
+            fx, fy = self._extract_features(state, loader, shard)
+            loader = as_loader(fx, fy, t.batch_size)
+            if val_loader is not None:
+                vx, vy = self._extract_features(state, val_loader, shard)
+                val_loader = as_loader(vx, vy, t.batch_size)
+            if log:
+                print(
+                    f"feature_cache: extracted {fx.shape} backbone features "
+                    f"in {time.time() - t0:.1f}s"
+                )
         if self._train_step is None:
             self._train_step = self._build_train_step()
         step_fn = self._train_step
-        shard = batch_sharding(self.mesh)
         rng = np.random.RandomState(t.seed)
         run = RunMetrics()
         timer = StepTimer()
@@ -585,9 +651,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_val_step(self):
         model = self.model
+        apply_kwargs = {"from_features": True} if self._feature_mode else {}
 
         def val_step(params, extra_vars, xb, yb, mask):
-            logits = model.apply({"params": params, **extra_vars}, xb)
+            logits = model.apply(
+                {"params": params, **extra_vars}, xb, **apply_kwargs
+            )
             loss, _ = self._loss_fn(logits, yb, mask)
             return loss
 
