@@ -1,0 +1,192 @@
+"""Converged-accuracy benchmark: vct and the torch reconstruction train the
+SAME config on the SAME generated video dataset to convergence, and their
+held-out macro F1 must agree.
+
+The reference's benchmark record is F1 0.7601 on tikHarm / 0.72 on UCF50
+(``dumps/bayesian_medsos_checkpoint.json``, ``lrcn/backup_ucf50.py:1``) —
+datasets that aren't on this machine. This stands in: a LEARNABLE video
+dataset (``generate_motion_dataset`` — real mp4 files whose classes differ
+only in temporal dynamics; "forward" and "reverse" have IDENTICAL per-frame
+marginals) flows through the REAL ingest path (cv2 decode, uniform frame
+sampling, HDF5 cache — ``ingest.py``), then:
+
+* vct trains through the production engine (``Trainer.fit`` with
+  balanced-weight CE from ``compute_class_weights``, feature-cache path) and
+  evaluates through the production metrics (``multiclass_metrics``);
+* torch trains the reconstruction from the SAME ported initial weights with
+  the same lr/batch-size/epochs (its own shuffle stream — this validates
+  converged behavior, not step-level parity; test_train_parity.py holds the
+  trajectory goldens).
+
+Both must clear a high absolute F1 bar on the held-out split AND land within
+a noise band of each other — validating losses, class weighting, the
+optimizer, and the metrics stack end to end at convergence. Measured (CPU
+lane, seeds 0-2): vct 1.00/1.00/0.94 vs torch 1.00/1.00/0.94, delta 0.00.
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow  # ~60 s: full lane only
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from test_full_model_parity import (  # noqa: E402
+    T, CLASSES, TRefLRCN, _port_full,
+)
+from vct.core.config import Config  # noqa: E402
+from vct.data.ingest import build_dataset_cache, load_dataset_cache  # noqa: E402
+from vct.data.loaders import split_indices  # noqa: E402
+from vct.data.synthetic import generate_motion_dataset  # noqa: E402
+from vct.parallel.mesh import host_to_device  # noqa: E402
+from vct.train.engine import Trainer, compute_class_weights  # noqa: E402
+from vct.train.metrics import multiclass_metrics  # noqa: E402
+
+# Wider than the parity-matrix constants: the 8-dim adapter bottleneck has a
+# chance-level plateau this tiny dataset can stall in (measured — both
+# frameworks stall identically); 32/64 converges reliably for every seed.
+RNN_INPUT, HIDDEN, LAYERS = 32, 64, 2
+EPOCHS, LR, BS = 50, 1e-3, 8
+F1_BAR = 0.85  # each framework must clear this on the held-out split
+F1_BAND = 0.15  # and agree with the other within this
+
+
+def _torch_head(m, feats):
+    """TRefLRCN.forward minus the (frozen) backbone — the torch counterpart
+    of the engine's feature-cache step, so both sides train heads from the
+    same precomputed features."""
+    b = feats.shape[0]
+    x = m.bn1(F.gelu(m.adapt1(feats)))
+    x = m.bn2(F.gelu(m.adapt2(x)))
+    x = m.bn3(F.gelu(m.adapt3(x)))
+    rnn_out, _ = m.rnn(x)
+    pooled = rnn_out.reshape(b, -1)
+    out = m.bn0(pooled)
+    out = m.bna(F.gelu(m.fc(out)))
+    out = m.bnb(F.gelu(m.fca(out)))
+    return m.fcb(out)
+
+
+def test_both_frameworks_converge_to_agreeing_f1(tmp_path):
+    root = str(tmp_path / "videos")
+    cache = str(tmp_path / "cache")
+    # Imbalanced classes: the balanced-weight CE path is actually load-bearing.
+    names_gen = generate_motion_dataset(
+        root, clips_per_class=(16, 13, 13, 10), frames=16, size=64, seed=0
+    )
+
+    cfg = Config().replace(**{
+        "data.dataset_path": root,
+        "data.processed_data_path": cache,
+        "data.img_height": "64", "data.img_width": "64",
+        "data.sequence_length": str(T),
+        "data.decode_workers": "0",
+        "model.num_classes": str(CLASSES),
+        "model.rnn_input_size": str(RNN_INPUT),
+        "model.mult_factor": str(HIDDEN // RNN_INPUT),
+        "model.cnn_backbone": "resnet18",
+        "model.rnn_type": "lstm",
+        "model.rnn_layer": str(LAYERS),
+        "model.rnn_out": "all",
+        "model.dropout": "0.0",
+        "model.scan_impl": "scan",
+        "train.batch_size": str(BS),
+        "train.learning_rate": str(LR),
+        "train.optimizer": "adam",
+        "train.grad_clip": "0",
+        "train.epochs": str(EPOCHS),
+        "train.early_stop_patience": "0",
+        "train.feature_cache": "true",
+        "train.seed": "11",
+    })
+    build_dataset_cache(cfg)
+    x, y, names = load_dataset_cache(cfg)
+    assert names == names_gen and len(x) == 52 and x.shape[1:] == (T, 64, 64, 3)
+    tr, te = split_indices(len(x), 0.25, seed=42)
+    xtr, ytr, xte, yte = x[tr], y[tr], x[te], y[te]
+    assert len(set(yte.tolist())) == CLASSES  # every class held out
+    weights = compute_class_weights(ytr, CLASSES, "multiclass")
+
+    # One shared init: build the torch model, port it into flax.
+    torch.manual_seed(0)
+    t_model = TRefLRCN(
+        "lstm", "all", "multiclass",
+        rnn_input=RNN_INPUT, hidden=HIDDEN, layers=LAYERS,
+    )
+    t_model.eval()  # frozen-backbone BN uses running stats, both sides
+    for p in t_model.cnn_backbone.parameters():
+        p.requires_grad = False
+    t_init = copy.deepcopy(t_model)
+
+    # --- vct: the production engine end to end -------------------------
+    trainer = Trainer(cfg, names, class_weights=weights)
+    state = trainer.init_state(jax.random.PRNGKey(0), xtr[:BS])
+    variables = {
+        "params": jax.device_get(state.params),
+        **jax.device_get(state.extra_vars),
+    }
+    ported = _port_full(t_init, variables, "lstm", "multiclass", layers=LAYERS)
+    params = jax.tree_util.tree_map(jnp.asarray, ported["params"])
+    state = host_to_device(
+        state.replace(
+            params=params,
+            extra_vars={"batch_stats": jax.tree_util.tree_map(
+                jnp.asarray, ported["batch_stats"]
+            )},
+            opt_state=trainer._tx.init(params),
+        ),
+        trainer.mesh,
+    )
+    state, run = trainer.fit(state, xtr, ytr, log=False)
+    m_vct = trainer.evaluate(state, xte, yte, log=False)
+    # training actually converged, not just classified well by luck
+    assert run.epoch_losses[-1] < 0.25 * run.epoch_losses[0]
+
+    # --- torch: same init, same recipe ----------------------------------
+    with torch.no_grad():
+        def feats_of(a):
+            xt = torch.from_numpy(np.transpose(a, (0, 1, 4, 2, 3)))
+            b, t = xt.shape[:2]
+            return t_model.cnn_backbone(
+                xt.reshape(b * t, 3, 64, 64)
+            ).reshape(b, t, -1)
+
+        ftr, fte = feats_of(xtr), feats_of(xte)
+    opt = torch.optim.Adam(
+        [p for p in t_model.parameters() if p.requires_grad], lr=LR
+    )
+    wt = torch.from_numpy(weights)
+    shuffle = np.random.RandomState(101)
+    ytr_t = torch.from_numpy(ytr)
+    for _ in range(EPOCHS):
+        order = shuffle.permutation(len(ftr))
+        for s in range(0, len(order), BS):
+            i = order[s:s + BS]
+            opt.zero_grad()
+            loss = F.cross_entropy(
+                _torch_head(t_model, ftr[i]), ytr_t[i], weight=wt
+            )
+            loss.backward()
+            opt.step()
+    with torch.no_grad():
+        preds = _torch_head(t_model, fte).argmax(1).numpy()
+    conf = np.zeros((CLASSES, CLASSES), np.int64)
+    for yt_, yp in zip(yte, preds):
+        conf[yt_, yp] += 1
+    m_torch = multiclass_metrics(conf, names)
+
+    assert m_vct.f1 >= F1_BAR, (
+        f"vct failed to converge: F1 {m_vct.f1:.4f} < {F1_BAR}"
+    )
+    assert m_torch.f1 >= F1_BAR, (
+        f"torch reconstruction failed to converge: F1 {m_torch.f1:.4f}"
+    )
+    assert abs(m_vct.f1 - m_torch.f1) <= F1_BAND, (
+        f"converged F1 disagree: vct {m_vct.f1:.4f} vs torch {m_torch.f1:.4f}"
+    )

@@ -123,10 +123,20 @@ class TMambaMixer(torch.nn.Module):
 
 
 class TRefLRCN(torch.nn.Module):
-    """models.py:121-234 verbatim-in-behavior (dropouts inert in eval)."""
+    """models.py:121-234 verbatim-in-behavior (dropouts inert in eval).
 
-    def __init__(self, rnn_type, rnn_out, classif_mode):
+    Dims default to the module constants the parity matrix uses; the
+    convergence benchmark (test_convergence.py) passes wider ones."""
+
+    def __init__(self, rnn_type, rnn_out, classif_mode,
+                 rnn_input=None, hidden=None, layers=None, t=None,
+                 classes=None):
         super().__init__()
+        rnn_input = RNN_INPUT if rnn_input is None else rnn_input
+        hidden = HIDDEN if hidden is None else hidden
+        layers = LAYERS if layers is None else layers
+        t = T if t is None else t
+        classes = CLASSES if classes is None else classes
         self.rnn_type, self.rnn_out, self.classif_mode = rnn_type, rnn_out, classif_mode
         self.cnn_backbone = TResNet18()
         f = 512
@@ -134,36 +144,36 @@ class TRefLRCN(torch.nn.Module):
         self.bn1 = torch.nn.LayerNorm(f // 2)
         self.adapt2 = torch.nn.Linear(f // 2, f // 4)
         self.bn2 = torch.nn.LayerNorm(f // 4)
-        self.adapt3 = torch.nn.Linear(f // 4, RNN_INPUT)
-        self.bn3 = torch.nn.LayerNorm(RNN_INPUT)
+        self.adapt3 = torch.nn.Linear(f // 4, rnn_input)
+        self.bn3 = torch.nn.LayerNorm(rnn_input)
 
         if rnn_type == "lstm":
-            self.rnn = torch.nn.LSTM(RNN_INPUT, HIDDEN, num_layers=LAYERS,
+            self.rnn = torch.nn.LSTM(rnn_input, hidden, num_layers=layers,
                                      batch_first=True)
-            out_size = HIDDEN
+            out_size = hidden
         elif rnn_type == "gru":
-            self.rnn = torch.nn.GRU(RNN_INPUT, HIDDEN, num_layers=LAYERS,
+            self.rnn = torch.nn.GRU(rnn_input, hidden, num_layers=layers,
                                     batch_first=True)
-            out_size = HIDDEN
+            out_size = hidden
         else:
-            self.norms = torch.nn.ModuleList([TRMSNorm(RNN_INPUT) for _ in range(LAYERS)])
+            self.norms = torch.nn.ModuleList([TRMSNorm(rnn_input) for _ in range(layers)])
             self.mixers = torch.nn.ModuleList([
-                TMambaMixer(RNN_INPUT, RNN_INPUT * 2, HIDDEN, HIDDEN)
-                for _ in range(LAYERS)
+                TMambaMixer(rnn_input, rnn_input * 2, hidden, hidden)
+                for _ in range(layers)
             ])
-            out_size = RNN_INPUT
+            out_size = rnn_input
 
-        fc_in = out_size * (T if rnn_out == "all" else 1)
+        fc_in = out_size * (t if rnn_out == "all" else 1)
         if classif_mode == "multiclass":
             self.bn0 = torch.nn.LayerNorm(fc_in)
             self.fc = torch.nn.Linear(fc_in, fc_in // 2)
             self.bna = torch.nn.LayerNorm(fc_in // 2)
             self.fca = torch.nn.Linear(fc_in // 2, fc_in // 4)
             self.bnb = torch.nn.LayerNorm(fc_in // 4)
-            self.fcb = torch.nn.Linear(fc_in // 4, CLASSES)
+            self.fcb = torch.nn.Linear(fc_in // 4, classes)
         else:
             self.fcs = torch.nn.ModuleList(
-                [torch.nn.Linear(fc_in, 1) for _ in range(CLASSES)]
+                [torch.nn.Linear(fc_in, 1) for _ in range(classes)]
             )
 
     def forward(self, x):  # (B, T, 3, H, W)
@@ -226,7 +236,8 @@ def _port_mixer(m):
     }
 
 
-def _port_full(t_model, flax_variables, rnn_type, classif_mode):
+def _port_full(t_model, flax_variables, rnn_type, classif_mode, layers=None):
+    layers = LAYERS if layers is None else layers
     bb_vars = {
         "params": flax_variables["params"]["cnn_backbone"],
         "batch_stats": flax_variables["batch_stats"]["cnn_backbone"],
@@ -240,13 +251,13 @@ def _port_full(t_model, flax_variables, rnn_type, classif_mode):
         "adapt3": _dense(t_model.adapt3), "bn3": _ln(t_model.bn3),
     }
     if rnn_type == "mamba":
-        for i in range(LAYERS):
+        for i in range(layers):
             params[f"mamba_{i}"] = {
                 "norm": {"weight": _np(t_model.norms[i].weight)},
                 "mixer": _port_mixer(t_model.mixers[i]),
             }
     elif rnn_type != "none":  # "none": caller ports the temporal head itself
-        params["rnn"] = {rnn_type: _port_rnn_stack(t_model.rnn, LAYERS)}
+        params["rnn"] = {rnn_type: _port_rnn_stack(t_model.rnn, layers)}
     if classif_mode == "multiclass":
         params["head"] = {
             "bn0": _ln(t_model.bn0), "fc": _dense(t_model.fc),
