@@ -40,6 +40,8 @@ def tiny():
 
 
 def test_export_load_roundtrip_matches_direct_forward(tiny, tmp_path):
+    """N=5 with buckets (2, 4) also exercises the padded tail: a full chunk
+    of 4 streams through the big executable, the leftover 1 pads up to 2."""
     cfg, model, variables = tiny
     path = str(tmp_path / "m.vctaot")
     export_servable(model, variables, ["a", "b", "c", "d"], SHAPE, path,
@@ -48,15 +50,19 @@ def test_export_load_roundtrip_matches_direct_forward(tiny, tmp_path):
     assert sv.class_names == ["a", "b", "c", "d"]
     assert sv.input_shape == SHAPE
 
-    clips = np.random.RandomState(0).rand(4, *SHAPE).astype(np.float32)
+    clips = np.random.RandomState(0).rand(5, *SHAPE).astype(np.float32)
     got = sv.classify(clips)
+    assert got.shape == (5, 4)
     want = np.asarray(
         jax.nn.softmax(model.apply(variables, jnp.asarray(clips)), axis=-1)
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
     np.testing.assert_allclose(got.sum(axis=-1), 1.0, atol=1e-5)
+    # empty input short-circuits
+    assert sv.classify(np.zeros((0,) + SHAPE, np.float32)).shape == (0, 4)
 
 
+@pytest.mark.slow  # bucket selection also covered (inverted order) above
 def test_classify_pads_to_buckets(tiny, tmp_path):
     """N=5 with buckets (2, 4): a full chunk of 4 streams through the big
     executable, the tail of 1 pads up to the SMALLEST fitting bucket."""
@@ -114,6 +120,8 @@ def test_not_an_artifact_raises(tmp_path):
         AotServable.load(path)
 
 
+@pytest.mark.slow  # the manifest contract is fast-covered by
+# test_worker_serves_from_artifact (sampling_method="sad" drives the worker)
 def test_manifest_records_sampling_method(tiny, tmp_path):
     """The artifact records the training-time frame sampling so serving
     preprocesses identically to the checkpoint path (a ssim-trained model
@@ -130,6 +138,8 @@ def test_manifest_records_sampling_method(tiny, tmp_path):
     assert AotServable.load(path).sampling_method is None
 
 
+@pytest.mark.slow  # dp-artifact machinery stays fast-covered by the cheaper
+# test_caption_data_parallel_export_serves_on_mesh (same exporter core)
 def test_data_parallel_export_serves_on_mesh(tiny, tmp_path):
     """data_parallel=4: ONE artifact whose executables shard the batch over
     4 devices (suite runs on the virtual 8-device CPU mesh); classify output
@@ -410,6 +420,8 @@ def test_caption_artifact_matches_live_beam_search(tiny_captioner, tmp_path):
         sv.decode(clips[:, :2])
 
 
+@pytest.mark.slow  # caption-checkpoint CLI auto-detect is fast-covered by
+# test_caption_raw_export_cli; artifact==live by ..._matches_live_beam_search
 def test_caption_checkpoint_export_cli(tiny_captioner, tmp_path, capsys):
     """python -m vct.serve.aot auto-detects a caption checkpoint (manifest
     carries the vocab + config) and exports a captioning artifact."""

@@ -141,11 +141,20 @@ def test_class_weights():
     np.testing.assert_allclose(pw, [1 / 3, 3 / 1], rtol=1e-6)
 
 
-def test_count_parameters_frozen_split():
-    cfg = _tiny_cfg()
-    x, _, names = generate_dummy_data(8, 4, 32, 32, 4)
+@pytest.fixture(scope="module")
+def resnet_trainer():
+    """One shared resnet18 init for the tests that only inspect the frozen
+    backbone (init is the expensive part; fit is functional so sharing the
+    state is safe — donation is off so fit can't invalidate the buffers)."""
+    cfg = _tiny_cfg(**{"train.epochs": "1", "mesh.donate": "false"})
+    x, y, names = generate_dummy_data(8, 4, 32, 32, 4)
     tr = Trainer(cfg, names)
     state = tr.init_state(jax.random.PRNGKey(0), x)
+    return tr, state, x, y
+
+
+def test_count_parameters_frozen_split(resnet_trainer):
+    _, state, _, _ = resnet_trainer
     counts = count_parameters(state.params, finetune=False)
     assert counts["Non-trainable parameters"] > 10_000_000  # resnet18 ~11.2M
     assert counts["Trainable parameters"] > 0
@@ -157,11 +166,8 @@ def test_count_parameters_frozen_split():
     assert ft["Non-trainable parameters"] == 0
 
 
-def test_frozen_backbone_unchanged_after_training():
-    cfg = _tiny_cfg(**{"train.epochs": "1"})
-    x, y, names = generate_dummy_data(8, 4, 32, 32, 4)
-    tr = Trainer(cfg, names)
-    state = tr.init_state(jax.random.PRNGKey(0), x)
+def test_frozen_backbone_unchanged_after_training(resnet_trainer):
+    tr, state, x, y = resnet_trainer
     before = jax.device_get(state.params["cnn_backbone"])
     state, _ = tr.fit(state, x, y, log=False)
     after = jax.device_get(state.params["cnn_backbone"])
@@ -275,11 +281,12 @@ class TestValPlateau:
     """Per-epoch validation + ReduceLROnPlateau (lrcn/mamba.py:374-420,474-476)."""
 
     def _cfg(self, tmp_path, **over):
+        # The plateau/val logic is model-family-independent; the tiny
+        # from-scratch LRCN2 keeps these engine-loop tests off the resnet18
+        # init/compile cost (measured ~30 s of fast-lane time).
         base = {
-            "model.cnn_backbone": "resnet18",
-            "model.rnn_type": "gru",
-            "model.rnn_input_size": "4",
-            "model.rnn_layer": "1",
+            "model.model_family": "lrcn2",
+            "model.hidden_size": "4",
             "model.num_classes": "3",
             "data.sequence_length": "3",
             "data.img_height": "8",
@@ -314,8 +321,16 @@ class TestValPlateau:
         import optax.tree_utils as otu
 
         x, y = self._data()
-        # constant val set + patience 1 on a tiny lr: val loss will plateau
+        # constant val set + patience 1 on a tiny lr: val loss will plateau.
+        # This one test needs the FROZEN-backbone family: lrcn2's train-mode
+        # BatchNorm keeps nudging the val loss by > the 1e-6 plateau
+        # threshold every epoch, so it never plateaus at tiny lr.
         cfg = self._cfg(tmp_path, **{
+            "model.model_family": "lrcn",
+            "model.cnn_backbone": "resnet18",
+            "model.rnn_type": "gru",
+            "model.rnn_input_size": "4",
+            "model.rnn_layer": "1",
             "train.epochs": "4",
             "train.learning_rate": "1e-12",  # no real progress -> plateau
             "train.lr_plateau_factor": "0.1",
@@ -409,7 +424,7 @@ def test_feature_cache_identical_loss_trajectory(capsys):
     an approximation. Also checks val-loss parity (the val loader is
     feature-cached too) and that the params land in the same place."""
     x, y, names = generate_dummy_data(
-        num_samples=24, sequence_length=4, height=32, width=32, num_classes=4
+        num_samples=16, sequence_length=4, height=32, width=32, num_classes=4
     )
     xv, yv = x[:8], y[:8]
 
@@ -417,7 +432,7 @@ def test_feature_cache_identical_loss_trajectory(capsys):
     for flag in ("false", "true"):
         cfg = _tiny_cfg(**{
             "train.feature_cache": flag,
-            "train.epochs": "3",
+            "train.epochs": "2",
             "model.dropout": "0.0",  # dropout rng draws differ per path
         })
         tr = Trainer(cfg, names)
@@ -445,12 +460,14 @@ def test_feature_cache_ignored_when_finetuning():
     """finetune=True backprops through the conv stack — features are not
     constant, so the cache must not engage."""
     x, y, names = generate_dummy_data(
-        num_samples=8, sequence_length=4, height=32, width=32, num_classes=4
+        num_samples=4, sequence_length=2, height=32, width=32, num_classes=4
     )
     cfg = _tiny_cfg(**{
         "train.feature_cache": "true",
         "train.epochs": "1",
-        "model.finetune": "true",
+        "train.batch_size": "4",
+        "data.sequence_length": "2",
+        "model.finetune": "true",  # backprop through the conv stack
     })
     tr = Trainer(cfg, names)
     state = tr.init_state(jax.random.PRNGKey(0), x)

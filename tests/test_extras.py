@@ -43,8 +43,8 @@ def test_adapt_dsl_wiring():
         num_classes=4, cnn_backbone="resnet18", rnn_type="lstm",
         rnn_input_size=8, rnn_layer=1, use_adapt_dsl=True, adapt="lnsd3",
     )
-    model = build_model(cfg, 4)
-    x = jnp.ones((1, 4, 32, 32, 3))
+    model = build_model(cfg, 2)
+    x = jnp.ones((1, 2, 16, 16, 3))
     variables = model.init(jax.random.PRNGKey(0), x)
     # DSL adapter params present instead of the canonical adapt1/2/3
     assert "cell0_linear" in variables["params"]["adapt"]
