@@ -247,13 +247,8 @@ def test_auc_matches_sklearn():
     assert ours == pytest.approx(want, abs=1e-9)
 
 
-def test_evaluate_with_auc(capsys):
-    from vct.data.synthetic import generate_dummy_data
-
-    cfg = _tiny_cfg(**{"train.epochs": "1"})
-    x, y, names = generate_dummy_data(16, 4, 32, 32, 4)
-    tr = Trainer(cfg, names)
-    state = tr.init_state(jax.random.PRNGKey(0), x)
+def test_evaluate_with_auc(resnet_trainer, capsys):
+    tr, state, x, y = resnet_trainer
     state, run = tr.fit(state, x, y, log=False)
     m = tr.evaluate(state, x, y, run=run, compute_auc=True)
     out = capsys.readouterr().out
@@ -331,7 +326,7 @@ class TestValPlateau:
             "model.rnn_type": "gru",
             "model.rnn_input_size": "4",
             "model.rnn_layer": "1",
-            "train.epochs": "4",
+            "train.epochs": "3",  # epoch 1 sets best, 2 goes bad, 3 observes
             "train.learning_rate": "1e-12",  # no real progress -> plateau
             "train.lr_plateau_factor": "0.1",
             "train.lr_plateau_patience": "1",
@@ -460,13 +455,15 @@ def test_feature_cache_ignored_when_finetuning():
     """finetune=True backprops through the conv stack — features are not
     constant, so the cache must not engage."""
     x, y, names = generate_dummy_data(
-        num_samples=4, sequence_length=2, height=32, width=32, num_classes=4
+        num_samples=4, sequence_length=2, height=16, width=16, num_classes=4
     )
     cfg = _tiny_cfg(**{
         "train.feature_cache": "true",
         "train.epochs": "1",
         "train.batch_size": "4",
         "data.sequence_length": "2",
+        "data.img_height": "16",
+        "data.img_width": "16",
         "model.finetune": "true",  # backprop through the conv stack
     })
     tr = Trainer(cfg, names)

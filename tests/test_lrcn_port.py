@@ -208,6 +208,7 @@ def test_port_reference_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
 
 
+@pytest.mark.slow  # error path of the porter the logits tests fast-cover
 def test_port_reference_shape_mismatch_raises():
     cfg = _cfg("gru", "all", "multiclass")
     model = build_model(cfg.model, T)
