@@ -109,3 +109,38 @@ def test_step_timer_and_history(tmp_path):
     write_history(str(path), {"train_loss": [1.0, 0.5], "step_times": summary})
     loaded = json.loads(path.read_text())
     assert loaded["train_loss"] == [1.0, 0.5]
+
+
+def test_persistent_compile_cache_helper(monkeypatch):
+    """CLI mains point JAX at the persistent compile cache (cold remote
+    compiles cost minutes over a tunneled chip) — but an explicit
+    JAX_COMPILATION_CACHE_DIR, or an already-configured cache, wins."""
+    import jax
+
+    from vct.utils import compilecache
+
+    # explicit env var -> untouched
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/user_choice")
+    assert compilecache.enable_persistent_compile_cache() is None
+
+    # no env var, cache already configured (the suite's conftest sets one
+    # via the re-exec env, which jax read at import) -> untouched
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    prior = jax.config.jax_compilation_cache_dir
+    if prior:
+        assert compilecache.enable_persistent_compile_cache() is None
+
+    # unconfigured -> set to the backend-appropriate persistent dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        path = compilecache.enable_persistent_compile_cache()
+        assert path is not None
+        assert jax.config.jax_compilation_cache_dir == path
+        if jax.default_backend() == "cpu":
+            # host-fingerprinted: a cache from another machine's CPU
+            # features must be invisible, not SIGILL-fatal
+            assert path.startswith(compilecache.CPU_CACHE_DIR)
+        else:
+            assert path == compilecache.TPU_CACHE_DIR
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)

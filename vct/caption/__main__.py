@@ -25,6 +25,9 @@ from vct.core.config import CaptionConfig
 
 
 def main(argv=None) -> int:
+    from vct.utils.compilecache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
 
     def grab(flag, default=None):

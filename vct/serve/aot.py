@@ -726,6 +726,10 @@ class CaptionAotServable:
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
 
+    from vct.utils.compilecache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     parser = argparse.ArgumentParser(
         description="Export an AOT servable artifact from a checkpoint"
     )

@@ -274,6 +274,9 @@ def _load_with_device_sampling(
 
 
 def main(argv=None) -> int:
+    from vct.utils.compilecache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description="Batch video classification")
     parser.add_argument(
         "--model", required=True,

@@ -187,6 +187,9 @@ class Worker:
 
 
 def run_worker(cfg: Optional[ServeConfig] = None) -> None:
+    from vct.utils.compilecache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     cfg = cfg or ServeConfig(
         model_path=os.environ.get("MODEL_PATH", ""),
         sampling_method=os.environ.get("SAMPLING_METHOD", "uniform"),

@@ -18,6 +18,9 @@ import sys
 
 
 def main(argv=None) -> int:
+    from vct.utils.compilecache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--state_dict", required=True, help=".pth/.npz state_dict")
     p.add_argument("--out", required=True, help="output checkpoint dir")

@@ -45,6 +45,11 @@ def _main_stream(cfg: Config) -> int:
 
 
 def main(argv=None) -> int:
+    # Cold remote compiles of the production train step cost minutes over a
+    # tunneled chip; repeat invocations must hit the persistent cache.
+    from vct.utils.compilecache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     config_path = None
     if "--config" in argv:
