@@ -131,6 +131,7 @@ def test_persistent_compile_cache_helper(monkeypatch):
         assert compilecache.enable_persistent_compile_cache() is None
 
     # unconfigured -> set to the backend-appropriate persistent dir
+    prior_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         jax.config.update("jax_compilation_cache_dir", None)
         path = compilecache.enable_persistent_compile_cache()
@@ -144,3 +145,6 @@ def test_persistent_compile_cache_helper(monkeypatch):
             assert path == compilecache.TPU_CACHE_DIR
     finally:
         jax.config.update("jax_compilation_cache_dir", prior)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prior_min
+        )

@@ -471,3 +471,43 @@ def test_feature_cache_ignored_when_finetuning():
     state, run = tr.fit(state, x, y, log=False)
     assert tr._feature_mode is False
     assert len(run.epoch_losses) == 1
+
+
+@pytest.mark.slow
+def test_feature_cache_resume_extracts_from_restored_backbone(tmp_path):
+    """Resume + feature_cache: extraction must run AFTER the checkpoint
+    restore, so features come from the checkpoint's backbone — a resuming
+    process whose fresh init used a different seed would otherwise train
+    the heads on features from a backbone they never saw (silent
+    divergence; the raw-clip path is immune because it applies the
+    restored params every step)."""
+    x, y, names = generate_dummy_data(16, 4, 32, 32, 4)
+    base = {
+        "train.feature_cache": "true",
+        "train.resume": "true",
+        "model.dropout": "0.0",
+    }
+    # uninterrupted 2-epoch run (seed-0 init)
+    cfg_full = _tiny_cfg(**{**base, "train.epochs": "2",
+                            "train.model_path": str(tmp_path / "ref")})
+    tr = Trainer(cfg_full, names)
+    s = tr.init_state(jax.random.PRNGKey(0), x)
+    _, run_full = tr.fit(s, x, y, log=False)
+
+    # the same run crashed after epoch 1 ...
+    ck = str(tmp_path / "ck")
+    cfg1 = _tiny_cfg(**{**base, "train.epochs": "1",
+                        "train.model_path": ck})
+    tr1 = Trainer(cfg1, names)
+    s1 = tr1.init_state(jax.random.PRNGKey(0), x)
+    tr1.fit(s1, x, y, log=False)
+    # ... and is resumed by a NEW process whose fresh init drew a DIFFERENT
+    # seed: only the restored params may influence epoch 2.
+    cfg2 = _tiny_cfg(**{**base, "train.epochs": "2",
+                        "train.model_path": ck})
+    tr2 = Trainer(cfg2, names)
+    s2 = tr2.init_state(jax.random.PRNGKey(123), x)
+    _, run_res = tr2.fit(s2, x, y, log=False)
+    np.testing.assert_allclose(
+        run_res.epoch_losses, run_full.epoch_losses, rtol=1e-5, atol=1e-6
+    )

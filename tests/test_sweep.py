@@ -362,3 +362,76 @@ def test_shared_compiled_step_honors_trial_lr():
     small, step = step_norm("1e-4")
     big, _ = step_norm("1e-1", shared_step=step)  # REUSED compiled step
     assert big > small * 100  # the reused step applied the new trial's lr
+
+
+def test_trial_journal_tolerates_torn_tail(tmp_path):
+    """A crash mid-append leaves a partial JSONL line; resume must keep
+    every complete trial, and the next append must not concatenate onto
+    the torn tail (which would corrupt BOTH entries)."""
+    from vct.sweep.strategies import _Trials
+
+    path = str(tmp_path / "trials.json")
+    t = _Trials(path)
+    t.append({"lr": 1e-3}, 0.5)
+    t.append({"lr": 1e-4}, 0.7)
+    with open(path, "a") as f:
+        f.write('{"config": {"lr": 1e-5}, "va')  # torn mid-write
+
+    t2 = _Trials(path)
+    assert [e["value"] for e in t2.trials] == [0.5, 0.7]
+    t2.append({"lr": 1e-2}, 0.9)  # heals the file (full rewrite)
+    assert [e["value"] for e in _Trials(path).trials] == [0.5, 0.7, 0.9]
+
+
+def test_store_journal_append_after_torn_tail(tmp_path):
+    """SweepStore.append starts a fresh line when the journal's tail was
+    torn by a crash, so the new entry survives even before compaction."""
+    from vct.sweep.store import SweepStore
+
+    store = SweepStore(str(tmp_path / "results.json"))
+    store.append({"config": {"lr": 1}, "metrics": {"f1_score": 0.5}})
+    with open(store.journal_path, "a") as f:
+        f.write('{"config": {"lr": 2}, "met')  # torn mid-write
+    store.append({"config": {"lr": 3}, "metrics": {"f1_score": 0.7}})
+    loaded = store.load()
+    assert [r["config"]["lr"] for r in loaded] == [1, 3]
+
+
+@pytest.mark.slow
+def test_sweep_step_reuse_with_feature_cache(tmp_path, monkeypatch):
+    """feature_cache sweeps share compiled steps too: the runner pre-sets
+    the trainer's feature mode before building/installing, so fit doesn't
+    flip the mode and discard the cached steps (which would silently
+    reinstate the per-trial retrace tax)."""
+    from vct.data.synthetic import generate_dummy_data
+    from vct.train.engine import Trainer
+
+    builds = {"train": 0}
+    orig_build = Trainer._build_train_step
+
+    def counting(self):
+        builds["train"] += 1
+        return orig_build(self)
+
+    monkeypatch.setattr(Trainer, "_build_train_step", counting)
+    cfg = Config().replace(**{
+        "sweep.checkpoint_file": str(tmp_path / "ckpt.json"),
+        "sweep.best_model_dir": str(tmp_path / "best"),
+        "sweep.f1_threshold": "2.0",
+        "sweep.test_runs": "1",
+        "model.cnn_backbone": "resnet18",
+        "model.rnn_input_size": "8",
+        "model.rnn_layer": "1",
+        "data.sequence_length": "3",
+        "data.img_height": "24",
+        "data.img_width": "24",
+        "train.batch_size": "8",
+        "train.epochs": "1",
+        "train.save_model": "false",
+        "train.feature_cache": "true",
+    })
+    data = generate_dummy_data(8, 3, 24, 24, 4)
+    r = SweepRunner(cfg, store=SweepStore(cfg.sweep.checkpoint_file), data=data)
+    for lr in ("1e-4", "3e-4"):
+        r.run_training({"train.learning_rate": lr}, test_runs=1)
+    assert builds["train"] == 1  # one feature-mode build serves the grid

@@ -237,10 +237,24 @@ class CaptionTrainer:
             self._feature_mode = feature_mode
             self._train_step = None
             self._val_step = None
-        if feature_mode:
+        ckpt_dir = checkpoint_dir or cfg.checkpoint_dir
+        start_epoch = 0
+        loss_arr: List[float] = []
+        val_arr: List[float] = []
+        if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
+            state, start_epoch, manifest = self.load_checkpoint(ckpt_dir, state)
+            # Pre-crash history continues, so the returned losses (and the
+            # history JSON) cover the whole run, not just post-resume.
+            loss_arr = list(manifest.get("epoch_losses", []))
+            val_arr = list(manifest.get("val_losses", []))
+            print(f"Checkpoint loaded. Resuming from epoch {start_epoch}")
+        if feature_mode and start_epoch < cfg.epochs:
             # The caption pipeline is ~98.5% frozen CNN: extract its
             # (bit-constant) features once, train fc/encoder/decoder from
             # the block — identical loss trajectory, no per-epoch convs.
+            # AFTER the resume restore on purpose: a resumed run must
+            # extract from the checkpoint's backbone, not this process's
+            # fresh init (they differ under warm starts or other seeds).
             t0 = time.time()
             fx, fy = self._extract_features(state, loader)
             loader = as_caption_loader(fx, fy, batch_size)
@@ -255,17 +269,6 @@ class CaptionTrainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         step_fn = self._train_step
-        ckpt_dir = checkpoint_dir or cfg.checkpoint_dir
-        start_epoch = 0
-        loss_arr: List[float] = []
-        val_arr: List[float] = []
-        if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
-            state, start_epoch, manifest = self.load_checkpoint(ckpt_dir, state)
-            # Pre-crash history continues, so the returned losses (and the
-            # history JSON) cover the whole run, not just post-resume.
-            loss_arr = list(manifest.get("epoch_losses", []))
-            val_arr = list(manifest.get("val_losses", []))
-            print(f"Checkpoint loaded. Resuming from epoch {start_epoch}")
 
         rng = np.random.RandomState(0)
         # Fast-forward the shuffle stream: every loader consumes exactly one

@@ -84,6 +84,16 @@ class SweepRunner:
     def _share_compiled_steps(self, trainer, key: tuple) -> None:
         """Install cached compiled steps into a fresh Trainer (or register
         this trainer's steps for the next trial with the same key)."""
+        # Pre-set the feature-cache mode fit() will decide on, so the steps
+        # built (or installed) here are the ones fit actually runs — without
+        # this, a feature_cache sweep builds raw-clip steps, fit flips the
+        # mode and discards them, and every trial retraces (the 5.3x
+        # compiled-step reuse silently vanishes).
+        trainer._feature_mode = bool(
+            trainer.cfg.train.feature_cache
+            and not trainer.cfg.model.finetune
+            and getattr(trainer.model, "supports_feature_cache", False)
+        )
         cached = self._step_cache.get(key)
         if cached is not None:
             trainer._train_step, trainer._eval_step, trainer._val_step = cached

@@ -26,6 +26,26 @@ __all__ = ["SweepStore", "is_config_duplicate"]
 COMPACT_EVERY = 50  # journal entries folded into the canonical JSON
 
 
+def append_jsonl_line(path: str, text: str) -> None:
+    """Append one JSONL line, healing a torn tail first.
+
+    A crash mid-append can leave the file ending in a partial line with no
+    newline; a naive append would concatenate onto it and corrupt BOTH
+    entries. Loaders skip the torn line either way — this keeps the new
+    entry off it."""
+    lead = ""
+    try:
+        with open(path, "rb") as f:
+            f.seek(-1, os.SEEK_END)
+            if f.read(1) != b"\n":
+                lead = "\n"
+    except (OSError, ValueError):
+        pass  # missing or empty file
+    with open(path, "a") as f:
+        f.write(lead + text + "\n")
+        f.flush()
+
+
 def is_config_duplicate(completed_configs: List[dict], config: dict) -> bool:
     """hyperparam.py:14-29: exact key/value match against completed configs."""
     for done in completed_configs:
@@ -81,9 +101,7 @@ class SweepStore:
     def append(self, entry: dict) -> None:
         """O(1) append: one JSON line to the journal (not a list rewrite)."""
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
-        with open(self.journal_path, "a") as f:
-            f.write(json.dumps(entry) + "\n")
-            f.flush()
+        append_jsonl_line(self.journal_path, json.dumps(entry))
         # Fold into the canonical reference-schema JSON every COMPACT_EVERY
         # appends (amortized O(1) per append, and dumps/*.json-style readers
         # see an at-most-COMPACT_EVERY-stale canonical file).

@@ -70,9 +70,20 @@ class _Trials:
                     self.trials = json.load(f)
                     self._legacy = True
                 else:
-                    self.trials = [
-                        json.loads(line) for line in f if line.strip()
-                    ]
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        try:
+                            self.trials.append(json.loads(line))
+                        except json.JSONDecodeError:
+                            # torn tail (crash mid-append): keep everything
+                            # before it — resume must survive the very crash
+                            # the journal exists for (mirrors
+                            # SweepStore._load_journal). Route the next
+                            # append through the full rewrite so it can't
+                            # concatenate onto the torn line.
+                            print("Skipping corrupt trial-journal line.")
+                            self._legacy = True
 
     def append(self, config: dict, value: float):
         entry = {"config": config, "value": value}

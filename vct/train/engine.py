@@ -462,31 +462,9 @@ class Trainer:
             self._feature_mode = feature_mode
             self._train_step = None
             self._val_step = None
-        if feature_mode:
-            # Frozen backbone => per-clip features are bit-constant across
-            # epochs (stop_gradient + frozen params + fixed batch_stats).
-            # Extract them ONCE, then every epoch trains adapter/RNN/head
-            # from the cached block — identical loss trajectory (tested),
-            # no conv-stack recompute per epoch.
-            t0 = time.time()
-            fx, fy = self._extract_features(state, loader, shard)
-            loader = as_loader(fx, fy, t.batch_size)
-            if val_loader is not None:
-                vx, vy = self._extract_features(state, val_loader, shard)
-                val_loader = as_loader(vx, vy, t.batch_size)
-            if log:
-                print(
-                    f"feature_cache: extracted {fx.shape} backbone features "
-                    f"in {time.time() - t0:.1f}s"
-                )
-        if self._train_step is None:
-            self._train_step = self._build_train_step()
-        step_fn = self._train_step
         rng = np.random.RandomState(t.seed)
         run = RunMetrics()
-        timer = StepTimer()
 
-        start = time.time()
         stop = False
         best_loss, bad_epochs = float("inf"), 0
         plateau_best, plateau_bad = float("inf"), 0
@@ -524,6 +502,33 @@ class Trainer:
                     print("Checkpointed run had early-stopped; not training "
                           "further.")
                     start_epoch = t.epochs
+        if feature_mode and start_epoch < t.epochs:
+            # Frozen backbone => per-clip features are bit-constant across
+            # epochs (stop_gradient + frozen params + fixed batch_stats).
+            # Extract them ONCE, then every epoch trains adapter/RNN/head
+            # from the cached block — identical loss trajectory for
+            # rng-driven loaders (equality-tested; native-shuffle stream
+            # loaders train on the same (feature, label) pairs under their
+            # own permutation), no conv-stack recompute per epoch.
+            # This runs AFTER the resume restore on purpose: a resumed run
+            # must extract from the checkpoint's backbone (warm-started or
+            # differently-seeded inits differ from the restored params).
+            t0 = time.time()
+            fx, fy = self._extract_features(state, loader, shard)
+            loader = as_loader(fx, fy, t.batch_size)
+            if val_loader is not None:
+                vx, vy = self._extract_features(state, val_loader, shard)
+                val_loader = as_loader(vx, vy, t.batch_size)
+            if log:
+                print(
+                    f"feature_cache: extracted {fx.shape} backbone features "
+                    f"in {time.time() - t0:.1f}s"
+                )
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        step_fn = self._train_step
+        timer = StepTimer()
+        start = time.time()
         for epoch in range(start_epoch, t.epochs):
             # Per-step scalars stay ON DEVICE for the whole epoch: fetching
             # loss each step forces a device->host sync that serializes the
