@@ -124,6 +124,11 @@ def causal_depthwise_conv1d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.
         padding=[(k - 1, 0)],
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=x.shape[-1],
+        # Depthwise = k multiply-adds per output, nothing for the MXU to
+        # tile — full f32 costs nothing here and keeps the op exact on TPU
+        # (the default bf16-class conv precision fails the 1e-5 torch
+        # golden on hardware).
+        precision=jax.lax.Precision.HIGHEST,
     )
     if bias is not None:
         y = y + bias
