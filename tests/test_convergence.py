@@ -60,12 +60,20 @@ F1_BAND = 0.15  # and agree with the other within this
 def _torch_head(m, feats):
     """TRefLRCN.forward minus the (frozen) backbone — the torch counterpart
     of the engine's feature-cache step, so both sides train heads from the
-    same precomputed features."""
+    same precomputed features. Mirrors both temporal families (the mamba
+    branch trains the mixer stack end to end, so convergence here validates
+    the selective-scan backward at full-training scale, complementing the
+    10-step trajectory goldens in test_train_parity.py)."""
     b = feats.shape[0]
     x = m.bn1(F.gelu(m.adapt1(feats)))
     x = m.bn2(F.gelu(m.adapt2(x)))
     x = m.bn3(F.gelu(m.adapt3(x)))
-    rnn_out, _ = m.rnn(x)
+    if m.rnn_type == "mamba":
+        for norm, mixer in zip(m.norms, m.mixers):
+            x = mixer(norm(x)) + x
+        rnn_out = x
+    else:
+        rnn_out, _ = m.rnn(x)
     pooled = rnn_out.reshape(b, -1)
     out = m.bn0(pooled)
     out = m.bna(F.gelu(m.fc(out)))
@@ -73,7 +81,8 @@ def _torch_head(m, feats):
     return m.fcb(out)
 
 
-def test_both_frameworks_converge_to_agreeing_f1(tmp_path):
+@pytest.mark.parametrize("rnn_type", ["lstm", "mamba"])
+def test_both_frameworks_converge_to_agreeing_f1(tmp_path, rnn_type):
     root = str(tmp_path / "videos")
     cache = str(tmp_path / "cache")
     # Imbalanced classes: the balanced-weight CE path is actually load-bearing.
@@ -91,7 +100,7 @@ def test_both_frameworks_converge_to_agreeing_f1(tmp_path):
         "model.rnn_input_size": str(RNN_INPUT),
         "model.mult_factor": str(HIDDEN // RNN_INPUT),
         "model.cnn_backbone": "resnet18",
-        "model.rnn_type": "lstm",
+        "model.rnn_type": rnn_type,
         "model.rnn_layer": str(LAYERS),
         "model.rnn_out": "all",
         "model.dropout": "0.0",
@@ -116,7 +125,7 @@ def test_both_frameworks_converge_to_agreeing_f1(tmp_path):
     # One shared init: build the torch model, port it into flax.
     torch.manual_seed(0)
     t_model = TRefLRCN(
-        "lstm", "all", "multiclass",
+        rnn_type, "all", "multiclass",
         rnn_input=RNN_INPUT, hidden=HIDDEN, layers=LAYERS,
     )
     t_model.eval()  # frozen-backbone BN uses running stats, both sides
@@ -131,7 +140,7 @@ def test_both_frameworks_converge_to_agreeing_f1(tmp_path):
         "params": jax.device_get(state.params),
         **jax.device_get(state.extra_vars),
     }
-    ported = _port_full(t_init, variables, "lstm", "multiclass", layers=LAYERS)
+    ported = _port_full(t_init, variables, rnn_type, "multiclass", layers=LAYERS)
     params = jax.tree_util.tree_map(jnp.asarray, ported["params"])
     state = host_to_device(
         state.replace(
