@@ -326,3 +326,101 @@ def test_beam_search_matches_independent_host_beam(beam_width):
         assert list(map(int, all_tokens[b])) == list(map(int, want_toks)), (
             f"batch {b}: beams disagree"
         )
+
+
+# ---------------------------------------------------------------------------
+# Gradient golden: the trainer's token-masked NLL through fc+encoder+decoder
+# ---------------------------------------------------------------------------
+
+
+def _grads_as_params_t(module):
+    """Clone ``module`` with every parameter replaced by its gradient, so the
+    same porting functions map the torch gradient tree into the flax layout
+    (the test_train_parity.py pattern)."""
+    import copy
+
+    clone = copy.deepcopy(module)
+    src = dict(module.named_parameters())
+    for name, p in clone.named_parameters():
+        g = src[name].grad
+        p.data = torch.zeros_like(p.data) if g is None else g.detach().clone()
+    return clone
+
+
+def _compare_grad_trees(got, want, prefix=""):
+    assert set(got.keys()) == set(want.keys()), (
+        f"{prefix}: keys {sorted(got)} vs {sorted(want)}"
+    )
+    for k in got:
+        path = f"{prefix}/{k}"
+        if isinstance(got[k], dict):
+            _compare_grad_trees(got[k], want[k], path)
+        else:
+            g, w = np.asarray(got[k]), np.asarray(want[k])
+            scale = float(np.abs(w).max()) if w.size else 0.0
+            np.testing.assert_allclose(
+                g, w, atol=max(1e-7, 3e-4 * scale), rtol=0,
+                err_msg=f"gradient mismatch: {path}",
+            )
+
+
+@pytest.mark.parametrize("num_layers", [1, 4])
+def test_caption_loss_grads_match_torch(num_layers):
+    """jax.grad of the TRAINER's token-masked NLL (CE with pad tokens
+    excluded, ``beam_search.py:260-294`` trains fc+encoder+decoder under
+    CrossEntropyLoss(ignore_index=pad)) through the feature-fed S2VT graph
+    vs torch autograd on ported weights — the caption half of the
+    gradient-parity story (classifier half: test_train_parity.py)."""
+    from vct.caption.models import S2VTModel
+    from vct.caption.train import CaptionTrainer
+
+    OUT = 9  # cnn fc projection width (distinct from FEAT/HID on purpose)
+    torch.manual_seed(3)
+    rng = np.random.RandomState(4)
+    feats = rng.randn(B, T, FEAT).astype(np.float32)
+    targets = rng.randint(0, V, (B, MAXLEN))
+    targets[0, -2:] = 0  # pad tail: the ignore_index mask is load-bearing
+    row_mask = np.ones((B,), np.float32)
+
+    t_fc = torch.nn.Linear(FEAT, OUT)
+    t_enc = TEncoderRNN(OUT, HID, num_layers)
+    t_dec = TDecoderAttention(HID, V, num_layers, MAXLEN)
+    tt = torch.from_numpy(targets)
+    enc_outs, enc_hidden = t_enc(t_fc(torch.from_numpy(feats)))
+    logp = t_dec(enc_outs, enc_hidden, tt)  # (B, MAXLEN, V) log-probs
+    tok = (tt != 0).float()
+    nll = -logp.gather(-1, tt.unsqueeze(-1)).squeeze(-1)
+    t_loss = (nll * tok).sum() / tok.sum()
+    t_loss.backward()
+
+    model = S2VTModel(
+        vocab_size=V, cnn_output_size=OUT, hidden_size=HID,
+        max_len=MAXLEN, dropout=0.0, rnn_layers=num_layers,
+    )
+    params = {
+        "cnn": {"fc": _dense(t_fc)},
+        "encoder": _port_encoder(t_enc, num_layers),
+        "decoder": _port_decoder(t_dec, num_layers),
+    }
+    params = _as_jax(params)
+
+    def loss_of(p):
+        lp = model.apply(
+            {"params": p}, jnp.asarray(feats), jnp.asarray(targets),
+            deterministic=True, from_features=True,
+        )
+        return CaptionTrainer._token_nll(
+            lp, jnp.asarray(targets), jnp.asarray(row_mask)
+        )[0]
+
+    jloss, grads = jax.value_and_grad(loss_of)(params)
+    np.testing.assert_allclose(float(jloss), float(t_loss), atol=1e-5, rtol=0)
+
+    want = {
+        "cnn": {"fc": _dense(_grads_as_params_t(t_fc))},
+        "encoder": _port_encoder(_grads_as_params_t(t_enc), num_layers),
+        "decoder": _port_decoder(_grads_as_params_t(t_dec), num_layers),
+    }
+    _compare_grad_trees(
+        jax.tree_util.tree_map(np.asarray, grads), want
+    )
