@@ -424,3 +424,87 @@ def test_caption_loss_grads_match_torch(num_layers):
     _compare_grad_trees(
         jax.tree_util.tree_map(np.asarray, grads), want
     )
+
+
+def test_caption_adam_trajectory_tracks_torch():
+    """10 Adam steps through the REAL compiled caption train step (donated
+    state, multi_transform freeze partition, global-norm clip, token-masked
+    NLL) vs a torch loop with the same data order/lr/clip: per-step losses
+    track. Complements the classifier trajectory goldens in
+    test_train_parity.py."""
+    from vct.caption.train import CaptionState, CaptionTrainer
+    from vct.caption.vocab import Vocabulary
+    from vct.core.config import CaptionConfig
+
+    OUT, LR, CLIP, BS, STEPS = 9, 3e-3, 1.0, 4, 10
+    N = 8
+    torch.manual_seed(5)
+    rng = np.random.RandomState(6)
+    feats = rng.randn(N, T, FEAT).astype(np.float32)
+    targets = rng.randint(3, V, (N, MAXLEN))
+    targets[:, -1] = 0  # pad tails: the ignore mask stays load-bearing
+    targets[0, -3:] = 0
+
+    v = Vocabulary(1)
+    v.build_vocabulary([" ".join(f"w{i}" for i in range(V - 4))])
+    assert len(v) == V
+    cfg = CaptionConfig(
+        cnn_backbone="resnet18", cnn_output_size=OUT, hidden_size=HID,
+        num_frames=T, max_caption_len=MAXLEN, learning_rate=LR,
+        grad_clip=CLIP, dropout=0.0,
+    )
+    trainer = CaptionTrainer(cfg, v)
+
+    t_fc = torch.nn.Linear(FEAT, OUT)
+    t_enc = TEncoderRNN(OUT, HID, 1)
+    t_dec = TDecoderAttention(HID, V, 1, MAXLEN)
+
+    params = _as_jax({
+        "cnn": {"fc": _dense(t_fc)},
+        "encoder": _port_encoder(t_enc, 1),
+        "decoder": _port_decoder(t_dec, 1),
+    })
+    state = CaptionState(
+        step=jnp.zeros((), jnp.int32), params=params, extra_vars={},
+        opt_state=trainer._tx.init(params), rng=jax.random.PRNGKey(0),
+    )
+    trainer._feature_mode = True  # feature-fed, the cached-training graph
+    step_fn = trainer._build_train_step()
+
+    # fixed shared batch order, several passes over the 2 batches
+    order = [rng.permutation(N) for _ in range(STEPS * BS // N + 1)]
+    batches = []
+    for ep in order:
+        for s in range(0, N, BS):
+            batches.append(ep[s:s + BS])
+    batches = batches[:STEPS]
+
+    j_losses = []
+    mask = jnp.ones((BS,), jnp.float32)
+    for idx in batches:
+        state, loss, _ = step_fn(
+            state, jnp.asarray(feats[idx]), jnp.asarray(targets[idx]), mask
+        )
+        j_losses.append(float(loss))
+
+    t_params = (
+        list(t_fc.parameters()) + list(t_enc.parameters())
+        + list(t_dec.parameters())
+    )
+    opt = torch.optim.Adam(t_params, lr=LR)
+    t_losses = []
+    for idx in batches:
+        opt.zero_grad()
+        tt = torch.from_numpy(targets[idx])
+        enc_outs, enc_hidden = t_enc(t_fc(torch.from_numpy(feats[idx])))
+        logp = t_dec(enc_outs, enc_hidden, tt)
+        tok = (tt != 0).float()
+        nll = -logp.gather(-1, tt.unsqueeze(-1)).squeeze(-1)
+        loss = (nll * tok).sum() / tok.sum()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(t_params, CLIP)
+        opt.step()
+        t_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-4, atol=1e-5)
+    assert j_losses[-1] < j_losses[0]  # actually training, not frozen
