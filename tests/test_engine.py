@@ -453,13 +453,16 @@ def test_feature_cache_identical_loss_trajectory(capsys):
 
 def test_feature_cache_ignored_when_finetuning():
     """finetune=True backprops through the conv stack — features are not
-    constant, so the cache must not engage."""
+    constant, so the cache must not engage. epochs=0 keeps this a test of
+    fit()'s feature-mode decision (made before any step runs) without
+    paying the finetune backward; test_partial_freeze_training covers the
+    finetune backward end to end in this lane."""
     x, y, names = generate_dummy_data(
         num_samples=4, sequence_length=2, height=16, width=16, num_classes=4
     )
     cfg = _tiny_cfg(**{
         "train.feature_cache": "true",
-        "train.epochs": "1",
+        "train.epochs": "0",
         "train.batch_size": "4",
         "data.sequence_length": "2",
         "data.img_height": "16",
@@ -470,7 +473,7 @@ def test_feature_cache_ignored_when_finetuning():
     state = tr.init_state(jax.random.PRNGKey(0), x)
     state, run = tr.fit(state, x, y, log=False)
     assert tr._feature_mode is False
-    assert len(run.epoch_losses) == 1
+    assert run.epoch_losses == []
 
 
 @pytest.mark.slow
