@@ -199,3 +199,82 @@ def test_both_frameworks_converge_to_agreeing_f1(tmp_path, rnn_type):
     assert abs(m_vct.f1 - m_torch.f1) <= F1_BAND, (
         f"converged F1 disagree: vct {m_vct.f1:.4f} vs torch {m_torch.f1:.4f}"
     )
+
+
+# ----------------------------------------------------------------------
+# Caption convergence: the S2VT analog of the classifier benchmark above.
+
+
+def test_captioner_converges_and_decodes_held_out_clips(tmp_path):
+    """Train the FULL caption stack (frozen resnet18 -> fc -> GRU encoder ->
+    Luong decoder) on pattern-distinct clips, then require the jitted beam
+    search to decode HELD-OUT clips (fresh noise instances of each pattern)
+    into exactly the right sentences — converged generalization with the
+    decode path in the loop, not loss descent or memorization.
+
+    The reference persists no caption accuracy record (SURVEY §6) — its
+    training loop just prints loss (``s2vt/beam_search.py:260-294``) — so
+    the bar here is absolute: BLEU 1.0 on the held-out split. Complements
+    ``test_caption_torch_parity.py`` (step-level gradient/trajectory
+    goldens) the same way the classifier convergence test complements
+    ``test_train_parity.py``."""
+    from vct.caption.data import encode_caption
+    from vct.caption.train import CaptionTrainer
+    from vct.caption.vocab import Vocabulary
+    from vct.core.config import CaptionConfig
+
+    sentences = [
+        "a man is cooking",
+        "a dog runs fast",
+        "a cat sleeps now",
+        "a bird flies away",
+    ]
+    vocab = Vocabulary(freq_threshold=1)
+    vocab.build_vocabulary(sentences)
+    max_len = 6  # <start> + 4 words + <end>
+
+    # Per class: a distinct smooth color pattern; every clip is that pattern
+    # plus fresh gaussian noise. Train never sees the held-out noise draws.
+    rng = np.random.RandomState(7)
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 31.0
+    bases = np.stack([
+        np.stack([yy, xx, 1.0 - yy], -1),
+        np.stack([1.0 - xx, yy * xx, xx], -1),
+        np.stack([0.5 + 0.5 * yy, 1.0 - yy * xx, yy], -1),
+        np.stack([xx * xx, 1.0 - xx, 0.5 * (yy + xx)], -1),
+    ])  # (4, 32, 32, 3) in [0, 1]
+
+    def clips(n_per_class):
+        vids, caps = [], []
+        for c, sent in enumerate(sentences):
+            for _ in range(n_per_class):
+                clip = bases[c][None].repeat(3, axis=0)  # (T=3, 32, 32, 3)
+                clip = clip + rng.normal(0, 0.08, clip.shape)
+                vids.append(np.clip(clip, 0.0, 1.0).astype(np.float32))
+                caps.append(encode_caption(sent, vocab, max_len))
+        return np.stack(vids), np.stack(caps)
+
+    train_x, train_y = clips(4)
+    held_x, _ = clips(1)  # fresh noise draws, one per class
+
+    cfg = CaptionConfig(
+        cnn_backbone="resnet18", cnn_output_size=32, hidden_size=32,
+        num_frames=3, max_caption_len=max_len, epochs=150, beam_width=3,
+        learning_rate=3e-3, dropout=0.0, checkpoint_dir="",
+        feature_cache=True,  # frozen backbone: identical trajectory, ~free epochs
+    )
+    trainer = CaptionTrainer(cfg, vocab)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), train_x[:2], train_y[:2]
+    )
+    state, losses = trainer.fit(state, train_x, train_y, batch_size=8, log=False)
+    assert losses[-1] < 0.1, f"caption training failed to converge: {losses[-1]:.4f}"
+
+    hyps = trainer.caption_videos(state, held_x)  # beam_width=3 via cfg
+    for sent, hyp in zip(sentences, hyps):
+        assert " ".join(hyp) == sent, (
+            f"held-out decode wrong: {hyp!r} vs {sent!r}"
+        )
+    refs = [[s.split()] for s in sentences]
+    bleu = trainer.evaluate_bleu(state, held_x, refs, log=False)
+    assert bleu >= 0.99, f"held-out BLEU {bleu:.4f} < 0.99"
