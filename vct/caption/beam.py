@@ -193,6 +193,11 @@ def beam_search(
 def greedy_decode(model, variables, video, max_len: int = 30):
     """Free-running argmax decode via the model's own scan (targets=None).
 
+    The reference's non-beam caption variant decodes exactly this way —
+    free-running topk(1) through the same GRU+Luong stack
+    (``s2vt/edit_configurable.py:305-343``, the ``DecoderAttention``
+    inference branch); here it is one traced scan instead of a host loop.
+
     The scan always runs the model's compiled ``model.max_len`` steps; the
     returned tokens truncate to ``max_len`` (greedy decoding is
     prefix-deterministic, so this equals decoding fewer steps)."""
