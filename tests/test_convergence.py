@@ -22,6 +22,18 @@ Both must clear a high absolute F1 bar on the held-out split AND land within
 a noise band of each other — validating losses, class weighting, the
 optimizer, and the metrics stack end to end at convergence. Measured (CPU
 lane, seeds 0-2): vct 1.00/1.00/0.94 vs torch 1.00/1.00/0.94, delta 0.00.
+
+Arms in this module:
+
+* multiclass, lstm + mamba (shared-init, eval-BN both sides);
+* multiple_binary (per-class BCE pos_weight at convergence — the reference's
+  other recorded training mode, ``lrcn/rgb_lrcn.py:403-421``);
+* the REFERENCE's train-mode-BN semantics (``train_eval.py:12`` trains with
+  ``model.train()`` while freezing only backbone parameters, so the frozen
+  backbone's BN layers normalize with batch statistics and keep updating
+  running stats) vs vct's deliberate always-eval-BN — the one training-time
+  forward divergence, measured here instead of mirrored away. See
+  docs/migration.md "Training-semantics deviations".
 """
 
 import copy
@@ -32,7 +44,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-pytestmark = pytest.mark.slow  # ~60 s: full lane only
+pytestmark = pytest.mark.slow  # ~60 s each: full lane only
 
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
@@ -40,13 +52,18 @@ import torch.nn.functional as F  # noqa: E402
 from test_full_model_parity import (  # noqa: E402
     T, CLASSES, TRefLRCN, _port_full,
 )
+from test_train_parity import _torch_loss  # noqa: E402
 from vct.core.config import Config  # noqa: E402
 from vct.data.ingest import build_dataset_cache, load_dataset_cache  # noqa: E402
 from vct.data.loaders import split_indices  # noqa: E402
 from vct.data.synthetic import generate_motion_dataset  # noqa: E402
 from vct.parallel.mesh import host_to_device  # noqa: E402
 from vct.train.engine import Trainer, compute_class_weights  # noqa: E402
-from vct.train.metrics import multiclass_metrics  # noqa: E402
+from vct.train.metrics import (  # noqa: E402
+    multiclass_metrics,
+    multilabel_counts,
+    multilabel_metrics,
+)
 
 # Wider than the parity-matrix constants: the 8-dim adapter bottleneck has a
 # chance-level plateau this tiny dataset can stall in (measured — both
@@ -63,7 +80,8 @@ def _torch_head(m, feats):
     same precomputed features. Mirrors both temporal families (the mamba
     branch trains the mixer stack end to end, so convergence here validates
     the selective-scan backward at full-training scale, complementing the
-    10-step trajectory goldens in test_train_parity.py)."""
+    10-step trajectory goldens in test_train_parity.py) and both
+    classification heads."""
     b = feats.shape[0]
     x = m.bn1(F.gelu(m.adapt1(feats)))
     x = m.bn2(F.gelu(m.adapt2(x)))
@@ -75,17 +93,22 @@ def _torch_head(m, feats):
     else:
         rnn_out, _ = m.rnn(x)
     pooled = rnn_out.reshape(b, -1)
+    if m.classif_mode != "multiclass":
+        return torch.cat([fc(pooled) for fc in m.fcs], dim=1)
     out = m.bn0(pooled)
     out = m.bna(F.gelu(m.fc(out)))
     out = m.bnb(F.gelu(m.fca(out)))
     return m.fcb(out)
 
 
-@pytest.mark.parametrize("rnn_type", ["lstm", "mamba"])
-def test_both_frameworks_converge_to_agreeing_f1(tmp_path, rnn_type):
+def _motion_setup(tmp_path, rnn_type, classif_mode="multiclass"):
+    """Generate the motion dataset, ingest it through the REAL path, split,
+    and compute class weights. Returns (cfg, xtr, ytr, xte, yte, names,
+    weights)."""
     root = str(tmp_path / "videos")
     cache = str(tmp_path / "cache")
-    # Imbalanced classes: the balanced-weight CE path is actually load-bearing.
+    # Imbalanced classes: the balanced-weight CE / BCE pos_weight path is
+    # actually load-bearing.
     names_gen = generate_motion_dataset(
         root, clips_per_class=(16, 13, 13, 10), frames=16, size=64, seed=0
     )
@@ -97,6 +120,7 @@ def test_both_frameworks_converge_to_agreeing_f1(tmp_path, rnn_type):
         "data.sequence_length": str(T),
         "data.decode_workers": "0",
         "model.num_classes": str(CLASSES),
+        "model.classif_mode": classif_mode,
         "model.rnn_input_size": str(RNN_INPUT),
         "model.mult_factor": str(HIDDEN // RNN_INPUT),
         "model.cnn_backbone": "resnet18",
@@ -119,28 +143,40 @@ def test_both_frameworks_converge_to_agreeing_f1(tmp_path, rnn_type):
     assert names == names_gen and len(x) == 52 and x.shape[1:] == (T, 64, 64, 3)
     tr, te = split_indices(len(x), 0.25, seed=42)
     xtr, ytr, xte, yte = x[tr], y[tr], x[te], y[te]
-    assert len(set(yte.tolist())) == CLASSES  # every class held out
-    weights = compute_class_weights(ytr, CLASSES, "multiclass")
+    if classif_mode == "multiclass":
+        assert len(set(yte.tolist())) == CLASSES  # every class held out
+    else:
+        assert yte.shape[1] == CLASSES and set(np.argmax(yte, 1)) == set(
+            range(CLASSES)
+        )
+    weights = compute_class_weights(ytr, CLASSES, classif_mode)
+    return cfg, xtr, ytr, xte, yte, names, weights
 
-    # One shared init: build the torch model, port it into flax.
+
+def _shared_torch_init(rnn_type, classif_mode):
+    """One shared init: the torch model both arms start from. Backbone
+    parameters frozen exactly like models.py:144-145."""
     torch.manual_seed(0)
     t_model = TRefLRCN(
-        rnn_type, "all", "multiclass",
+        rnn_type, "all", classif_mode,
         rnn_input=RNN_INPUT, hidden=HIDDEN, layers=LAYERS,
     )
-    t_model.eval()  # frozen-backbone BN uses running stats, both sides
     for p in t_model.cnn_backbone.parameters():
         p.requires_grad = False
-    t_init = copy.deepcopy(t_model)
+    return t_model
 
-    # --- vct: the production engine end to end -------------------------
+
+def _vct_arm(cfg, names, weights, t_init, rnn_type, classif_mode,
+             xtr, ytr, xte, yte):
+    """vct's production arm: port the shared torch init into the live state,
+    train through Trainer.fit, evaluate through Trainer.evaluate."""
     trainer = Trainer(cfg, names, class_weights=weights)
     state = trainer.init_state(jax.random.PRNGKey(0), xtr[:BS])
     variables = {
         "params": jax.device_get(state.params),
         **jax.device_get(state.extra_vars),
     }
-    ported = _port_full(t_init, variables, rnn_type, "multiclass", layers=LAYERS)
+    ported = _port_full(t_init, variables, rnn_type, classif_mode, layers=LAYERS)
     params = jax.tree_util.tree_map(jnp.asarray, ported["params"])
     state = host_to_device(
         state.replace(
@@ -153,24 +189,27 @@ def test_both_frameworks_converge_to_agreeing_f1(tmp_path, rnn_type):
         trainer.mesh,
     )
     state, run = trainer.fit(state, xtr, ytr, log=False)
-    m_vct = trainer.evaluate(state, xte, yte, log=False)
-    # training actually converged, not just classified well by luck
-    assert run.epoch_losses[-1] < 0.25 * run.epoch_losses[0]
+    metrics = trainer.evaluate(state, xte, yte, log=False)
+    return metrics, run
 
-    # --- torch: same init, same recipe ----------------------------------
-    with torch.no_grad():
-        def feats_of(a):
-            xt = torch.from_numpy(np.transpose(a, (0, 1, 4, 2, 3)))
-            b, t = xt.shape[:2]
-            return t_model.cnn_backbone(
-                xt.reshape(b * t, 3, 64, 64)
-            ).reshape(b, t, -1)
 
-        ftr, fte = feats_of(xtr), feats_of(xte)
+def _torch_feats(t_model, a):
+    """Backbone features under the model's CURRENT train/eval mode (the
+    reference forwards the flattened B*T frame batch, models.py:190-192)."""
+    xt = torch.from_numpy(np.transpose(a, (0, 1, 4, 2, 3)))
+    b, t = xt.shape[:2]
+    with torch.no_grad():  # frozen: no grads, but train-mode BN still
+        return t_model.cnn_backbone(  # updates running stats on forward
+            xt.reshape(b * t, 3, xt.shape[-2], xt.shape[-1])
+        ).reshape(b, t, -1)
+
+
+def _train_torch_head(t_model, ftr, ytr, weights, classif_mode):
+    """The torch arm's head-training loop: same lr/batch-size/epochs as the
+    vct arm, its own shuffle stream."""
     opt = torch.optim.Adam(
         [p for p in t_model.parameters() if p.requires_grad], lr=LR
     )
-    wt = torch.from_numpy(weights)
     shuffle = np.random.RandomState(101)
     ytr_t = torch.from_numpy(ytr)
     for _ in range(EPOCHS):
@@ -178,11 +217,31 @@ def test_both_frameworks_converge_to_agreeing_f1(tmp_path, rnn_type):
         for s in range(0, len(order), BS):
             i = order[s:s + BS]
             opt.zero_grad()
-            loss = F.cross_entropy(
-                _torch_head(t_model, ftr[i]), ytr_t[i], weight=wt
+            loss = _torch_loss(
+                _torch_head(t_model, ftr[i]), ytr_t[i], classif_mode, weights
             )
             loss.backward()
             opt.step()
+
+
+@pytest.mark.parametrize("rnn_type", ["lstm", "mamba"])
+def test_both_frameworks_converge_to_agreeing_f1(tmp_path, rnn_type):
+    cfg, xtr, ytr, xte, yte, names, weights = _motion_setup(tmp_path, rnn_type)
+    t_model = _shared_torch_init(rnn_type, "multiclass")
+    t_model.eval()  # frozen-backbone BN uses running stats, both sides
+    t_init = copy.deepcopy(t_model)
+
+    # --- vct: the production engine end to end -------------------------
+    m_vct, run = _vct_arm(
+        cfg, names, weights, t_init, rnn_type, "multiclass",
+        xtr, ytr, xte, yte,
+    )
+    # training actually converged, not just classified well by luck
+    assert run.epoch_losses[-1] < 0.25 * run.epoch_losses[0]
+
+    # --- torch: same init, same recipe ----------------------------------
+    ftr, fte = _torch_feats(t_model, xtr), _torch_feats(t_model, xte)
+    _train_torch_head(t_model, ftr, ytr, weights, "multiclass")
     with torch.no_grad():
         preds = _torch_head(t_model, fte).argmax(1).numpy()
     conf = np.zeros((CLASSES, CLASSES), np.int64)
@@ -198,6 +257,133 @@ def test_both_frameworks_converge_to_agreeing_f1(tmp_path, rnn_type):
     )
     assert abs(m_vct.f1 - m_torch.f1) <= F1_BAND, (
         f"converged F1 disagree: vct {m_vct.f1:.4f} vs torch {m_torch.f1:.4f}"
+    )
+
+
+def test_multiple_binary_converges_to_agreeing_metrics(tmp_path):
+    """The reference's other recorded training mode at convergence: one-hot
+    labels, per-class BCEWithLogits(pos_weight=neg/pos) summed over classes
+    (``rgb_lrcn.py:403-421``, ``train_eval.py:31-39``). The class imbalance
+    (16/13/13/10) makes pos_weight load-bearing: each class is positive for
+    ~1/4 of clips, so unweighted BCE's early gradient pushes toward the
+    all-negative prediction. Both frameworks train from one shared ported
+    init to agreeing held-out macro F1 through the production multilabel
+    metrics stack (complements test_train_parity.py's single-step BCE
+    gradient goldens with a converged run)."""
+    cfg, xtr, ytr, xte, yte, names, weights = _motion_setup(
+        tmp_path, "lstm", classif_mode="multiple_binary"
+    )
+    assert weights.min() > 1.5  # pos_weight actually reweights (neg/pos >> 1)
+    t_model = _shared_torch_init("lstm", "multiple_binary")
+    t_model.eval()
+    t_init = copy.deepcopy(t_model)
+
+    m_vct, run = _vct_arm(
+        cfg, names, weights, t_init, "lstm", "multiple_binary",
+        xtr, ytr, xte, yte,
+    )
+    assert run.epoch_losses[-1] < 0.25 * run.epoch_losses[0]
+
+    ftr, fte = _torch_feats(t_model, xtr), _torch_feats(t_model, xte)
+    _train_torch_head(t_model, ftr, ytr, weights, "multiple_binary")
+    with torch.no_grad():
+        logits = _torch_head(t_model, fte).numpy()
+    counts, exact = multilabel_counts(jnp.asarray(logits), jnp.asarray(yte))
+    m_torch = multilabel_metrics(
+        np.asarray(counts), float(exact), float(len(yte)), names
+    )
+    print(f"\nmultiple_binary arms: vct F1 {m_vct.f1:.4f} vs "
+          f"torch F1 {m_torch.f1:.4f}")
+
+    assert m_vct.f1 >= F1_BAR, (
+        f"vct multiple_binary failed to converge: F1 {m_vct.f1:.4f}"
+    )
+    assert m_torch.f1 >= F1_BAR, (
+        f"torch multiple_binary failed to converge: F1 {m_torch.f1:.4f}"
+    )
+    assert abs(m_vct.f1 - m_torch.f1) <= F1_BAND, (
+        f"converged F1 disagree: vct {m_vct.f1:.4f} vs torch {m_torch.f1:.4f}"
+    )
+
+
+def test_reference_train_mode_bn_lands_in_same_band(tmp_path):
+    """Measure the one known training-semantics deviation instead of
+    mirroring it away.
+
+    The reference trains with ``model.train()`` while freezing only backbone
+    *parameters* (``medsos_lrcn/src/train_eval.py:12``,
+    ``models.py:144-145`` — no ``.eval()`` anywhere in training): its frozen
+    backbone's BatchNorm layers normalize every training batch with BATCH
+    statistics and keep updating running stats, then switch to running stats
+    at eval (``train_eval.py:57``). vct deliberately hardcodes eval-mode BN
+    (``vct/models/backbones/resnet.py`` ``use_running_average=True``) — the
+    backbone is frozen, so its features should not depend on batch
+    composition (and bit-constant features are what make train.feature_cache
+    exact).
+
+    This arm trains the torch reconstruction under the REFERENCE's exact
+    semantics — backbone forwarded per batch in train mode, running stats
+    drifting all run — and requires its converged held-out F1 to land in the
+    same band as vct's eval-BN production run. Measured (CPU lane, seed 0):
+    vct eval-BN F1 1.00 vs reference train-BN F1 0.90 — the deviation costs
+    nothing (eval-BN measured equal-or-better); see docs/migration.md
+    "Training-semantics deviations"."""
+    cfg, xtr, ytr, xte, yte, names, weights = _motion_setup(tmp_path, "lstm")
+    t_model = _shared_torch_init("lstm", "multiclass")
+    t_init = copy.deepcopy(t_model)
+
+    # --- vct: production engine, always-eval-BN -------------------------
+    m_vct, run = _vct_arm(
+        cfg, names, weights, t_init, "lstm", "multiclass",
+        xtr, ytr, xte, yte,
+    )
+    assert run.epoch_losses[-1] < 0.25 * run.epoch_losses[0]
+
+    # --- torch: the reference's train-mode-BN semantics ------------------
+    t_model.train()  # train_eval.py:12 — BN in batch-stats mode
+    bn1 = t_model.cnn_backbone.bn1
+    init_mean = bn1.running_mean.clone()
+    opt = torch.optim.Adam(
+        [p for p in t_model.parameters() if p.requires_grad], lr=LR
+    )
+    shuffle = np.random.RandomState(101)
+    ytr_t = torch.from_numpy(ytr)
+    for _ in range(EPOCHS):
+        order = shuffle.permutation(len(xtr))
+        for s in range(0, len(order), BS):
+            i = order[s:s + BS]
+            # Backbone forwarded PER BATCH in train mode: features depend on
+            # batch composition, running stats update every step (momentum
+            # 0.1) — no feature cache is possible under these semantics.
+            feats = _torch_feats(t_model, xtr[i])
+            opt.zero_grad()
+            loss = F.cross_entropy(
+                _torch_head(t_model, feats), ytr_t[i],
+                weight=torch.from_numpy(weights),
+            )
+            loss.backward()
+            opt.step()
+    # The deviation was actually exercised: running stats drifted from init.
+    assert not torch.allclose(bn1.running_mean, init_mean), (
+        "train-mode BN arm did not update running stats — the reference "
+        "semantics were not exercised"
+    )
+    t_model.eval()  # train_eval.py:57 — eval switches to running stats
+    with torch.no_grad():
+        preds = _torch_head(t_model, _torch_feats(t_model, xte)).argmax(1).numpy()
+    conf = np.zeros((CLASSES, CLASSES), np.int64)
+    for yt_, yp in zip(yte, preds):
+        conf[yt_, yp] += 1
+    m_ref = multiclass_metrics(conf, names)
+    print(f"\nBN-semantics arms: vct(eval-BN) F1 {m_vct.f1:.4f} vs "
+          f"reference(train-BN) F1 {m_ref.f1:.4f}")
+
+    assert m_ref.f1 >= F1_BAR, (
+        f"reference-semantics arm failed to converge: F1 {m_ref.f1:.4f}"
+    )
+    assert abs(m_vct.f1 - m_ref.f1) <= F1_BAND, (
+        f"train-mode-BN converged F1 outside vct's band: "
+        f"vct(eval-BN) {m_vct.f1:.4f} vs reference(train-BN) {m_ref.f1:.4f}"
     )
 
 
@@ -218,6 +404,11 @@ def test_captioner_converges_and_decodes_held_out_clips(tmp_path):
     ``test_caption_torch_parity.py`` (step-level gradient/trajectory
     goldens) the same way the classifier convergence test complements
     ``test_train_parity.py``."""
+    if jax.default_backend() != "cpu":
+        pytest.skip(
+            "exact-sentence decode goldens assume the CPU lane's f32 "
+            "numerics; bf16 matmul drift on TPU could flip a token"
+        )
     from vct.caption.data import encode_caption
     from vct.caption.train import CaptionTrainer
     from vct.caption.vocab import Vocabulary
