@@ -101,22 +101,22 @@ def _torch_head(m, feats):
     return m.fcb(out)
 
 
-def _motion_setup(tmp_path, rnn_type, classif_mode="multiclass"):
+def _motion_setup(tmp_path, rnn_type, classif_mode="multiclass", size=64):
     """Generate the motion dataset, ingest it through the REAL path, split,
     and compute class weights. Returns (cfg, xtr, ytr, xte, yte, names,
-    weights)."""
+    weights). ``size=32`` keeps the conv-heavy finetune arm affordable."""
     root = str(tmp_path / "videos")
     cache = str(tmp_path / "cache")
     # Imbalanced classes: the balanced-weight CE / BCE pos_weight path is
     # actually load-bearing.
     names_gen = generate_motion_dataset(
-        root, clips_per_class=(16, 13, 13, 10), frames=16, size=64, seed=0
+        root, clips_per_class=(16, 13, 13, 10), frames=16, size=size, seed=0
     )
 
     cfg = Config().replace(**{
         "data.dataset_path": root,
         "data.processed_data_path": cache,
-        "data.img_height": "64", "data.img_width": "64",
+        "data.img_height": str(size), "data.img_width": str(size),
         "data.sequence_length": str(T),
         "data.decode_workers": "0",
         "model.num_classes": str(CLASSES),
@@ -140,7 +140,8 @@ def _motion_setup(tmp_path, rnn_type, classif_mode="multiclass"):
     })
     build_dataset_cache(cfg)
     x, y, names = load_dataset_cache(cfg)
-    assert names == names_gen and len(x) == 52 and x.shape[1:] == (T, 64, 64, 3)
+    assert names == names_gen and len(x) == 52
+    assert x.shape[1:] == (T, size, size, 3)
     tr, te = split_indices(len(x), 0.25, seed=42)
     xtr, ytr, xte, yte = x[tr], y[tr], x[te], y[te]
     if classif_mode == "multiclass":
