@@ -172,3 +172,25 @@ def test_normalize_frames_pallas():
     np.testing.assert_allclose(
         np.asarray(out2), (raw / 255.0 - mean) / std, atol=1e-5
     )
+
+
+def test_ssim_pair_scores_matches_xla():
+    """The one-pass Pallas SSIM scorer vs the XLA `_device_ssim` reference
+    (itself skimage-golden-tested in test_data.py) — values to ~1e-6 and
+    identical rankings, including non-tile-aligned frame sizes."""
+    from vct.data.samplers import _device_ssim
+    from vct.ops.ssim_pallas import ssim_pair_scores
+
+    rng = np.random.RandomState(0)
+    for shape in ((2, 7, 16, 16, 3), (1, 5, 9, 11, 3), (3, 4, 8, 8, 1)):
+        clips = rng.randint(0, 256, shape, np.uint8)
+        got = np.asarray(ssim_pair_scores(jnp.asarray(clips)))
+        want = np.stack([
+            np.asarray(_device_ssim(
+                jnp.asarray(c[:-1], jnp.float32), jnp.asarray(c[1:], jnp.float32)
+            ))
+            for c in clips
+        ])
+        np.testing.assert_allclose(got, want, atol=2e-6, err_msg=str(shape))
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.argsort(g), np.argsort(w))

@@ -109,14 +109,25 @@ def device_sample_clips(
         # ssim keeps the canonical frame0+later shape; sad/flow keep their
         # lrcn-script earlier-frame shape (see device_topk_indices).
         style = "canonical" if method == "ssim" else "script"
+        if method == "ssim":
+            # One-pass Pallas scoring: all five windowed moments per frame
+            # pair computed inside VMEM, only the scalar means leave the
+            # core (vct.ops.ssim_pallas; XLA reference kept as
+            # samplers._device_ssim and golden-compared in tests).
+            from vct.ops.ssim_pallas import ssim_pair_scores
 
-        def one(clip, length):
-            scores = device_frame_scores(clip, method)
+            scores_all = 1.0 - ssim_pair_scores(raw)
+        else:
+            scores_all = jax.vmap(
+                lambda c: device_frame_scores(c, method)
+            )(raw)
+
+        def one(scores, length):
             # transitions at/after the true end are padding: never selected
             pos = jnp.arange(scores.shape[0])
             scores = jnp.where(pos < length - 1, scores, -jnp.inf)
             return device_topk_indices(scores, sequence_length, style)
 
-        idx = jnp.where(short, cyc, jax.vmap(one)(raw, lens))
+        idx = jnp.where(short, cyc, jax.vmap(one)(scores_all, lens))
     selected = jnp.take_along_axis(raw, idx[:, :, None, None, None], axis=1)
     return preprocess_clips(selected, out_hw=out_hw)

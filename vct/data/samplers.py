@@ -313,6 +313,12 @@ def _device_ssim(a, b, win: int = 3, data_range: float = 255.0):
     # clips/s, bit-exact): the overlapping slices of the shared moment
     # tensors break XLA's conv→elementwise fusion and force the full-L
     # moments out to HBM, costing more than the redundant filter math saves.
+    # What finally beat this XLA version is a SINGLE-PASS PALLAS KERNEL
+    # (vct.ops.ssim_pallas, 1216 -> 1795 clips/s): all five moments as
+    # roll-shifted adds inside VMEM, only the scalar mean leaving the core —
+    # the batched selection path (preprocess.device_sample_clips) uses it;
+    # this XLA implementation remains the per-clip API and the golden
+    # reference the kernel is tested against.
     ua, ub = filt(a), filt(b)
     uaa, ubb, uab = filt(a * a), filt(b * b), filt(a * b)
     va = cov_norm * (uaa - ua * ua)
