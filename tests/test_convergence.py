@@ -469,4 +469,6 @@ def test_captioner_converges_and_decodes_held_out_clips(tmp_path):
         )
     refs = [[s.split()] for s in sentences]
     bleu = trainer.evaluate_bleu(state, held_x, refs, log=False)
-    assert bleu >= 0.99, f"held-out BLEU {bleu:.4f} < 0.99"
+    # The exact-sentence asserts above make identical token lists, so the
+    # enforced bar really is BLEU 1.0 (matching the README's claim).
+    assert bleu == pytest.approx(1.0, abs=1e-9), f"held-out BLEU {bleu:.6f}"
