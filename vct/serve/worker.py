@@ -67,6 +67,12 @@ class Worker:
                 self.cfg = cfg = dataclasses.replace(
                     cfg, sequence_length=art_T
                 )
+            # Warm the executables NOW: the first device execution pays
+            # one-time costs that don't belong in the first user request
+            # (weights land on the device, the runtime warms up — measured
+            # 50 s through a tunneled chip vs 0.1 s steady-state; the
+            # reference worker pays torch.load + cold CUDA per message).
+            self.servable.warmup()
             if (self.servable.sampling_method
                     and "SAMPLING_METHOD" not in os.environ):
                 # No explicit env override: preprocess the way the model
