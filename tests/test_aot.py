@@ -359,6 +359,31 @@ def test_cli_export_from_checkpoint_and_deployment_serve(tiny, tmp_path):
     assert rc == 0
 
 
+def test_warmup_covers_every_bucket_and_contract(tiny, tmp_path):
+    """warmup() executes every compiled bucket cleanly for both classifier
+    contracts and leaves serving results unchanged. The queue worker calls
+    it before binding its PULL port, so the tunneled chip's first-execution
+    cost (measured 50-520 s, docs/performance.md "Serving rehearsal") is
+    paid at startup instead of inside the first user request."""
+    cfg, model, variables = tiny
+    p1 = str(tmp_path / "w1.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, p1,
+                    batch_sizes=(2, 4))
+    sv = AotServable.load(p1)
+    sv.warmup()
+    clips = np.random.RandomState(5).rand(3, *SHAPE).astype(np.float32)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, jnp.asarray(clips)), axis=-1)
+    )
+    np.testing.assert_allclose(sv.classify(clips), want, atol=1e-5)
+
+    # raw-input contract: warmup must feed uint8 zeros + in-range lengths
+    p2 = str(tmp_path / "w2.vctaot")
+    export_servable(model, variables, list("abcd"), SHAPE, p2,
+                    batch_sizes=(2,), device_sampling="sad", raw_len=7)
+    AotServable.load(p2).warmup()
+
+
 # ---------------------------------------------------------------------------
 # Captioning artifacts: the whole beam-search pipeline in one executable
 
@@ -410,6 +435,8 @@ def test_caption_artifact_matches_live_beam_search(tiny_captioner, tmp_path):
     assert sv.caption(clips) == [
         decode_tokens(row, v) for row in np.asarray(want_t)
     ]
+    sv.warmup()  # caption-contract warmup path (zeros through beam search)
+    np.testing.assert_array_equal(sv.decode(clips)[0], np.asarray(want_t))
 
     # cross-format guards both ways
     from vct.serve.aot import AotServable
