@@ -50,6 +50,12 @@ def test_export_load_roundtrip_matches_direct_forward(tiny, tmp_path):
     assert sv.class_names == ["a", "b", "c", "d"]
     assert sv.input_shape == SHAPE
 
+    # warmup() (the queue worker runs it before binding its PULL port so the
+    # first-execution cost — 50-520 s through a tunneled chip, see
+    # docs/performance.md "Serving rehearsal" — is paid at startup, not in
+    # the first user request) must execute every bucket and leave results
+    # unchanged:
+    sv.warmup()
     clips = np.random.RandomState(0).rand(5, *SHAPE).astype(np.float32)
     got = sv.classify(clips)
     assert got.shape == (5, 4)
@@ -204,6 +210,7 @@ def test_device_sampling_baked_into_artifact(tiny, tmp_path):
                     batch_sizes=(2,), device_sampling="sad", raw_len=7)
     sv = AotServable.load(path)
     assert sv.device_sampling == "sad" and sv.raw_len == 7
+    sv.warmup()  # raw-input-contract warmup: uint8 zeros + in-range lengths
 
     rng = np.random.RandomState(4)
     raw = rng.randint(0, 256, size=(3, 7) + SHAPE[1:], dtype=np.uint8)
@@ -357,31 +364,6 @@ def test_cli_export_from_checkpoint_and_deployment_serve(tiny, tmp_path):
         w.release()
     rc = deployment.main(["--model", art, "--videos", str(vids)])
     assert rc == 0
-
-
-def test_warmup_covers_every_bucket_and_contract(tiny, tmp_path):
-    """warmup() executes every compiled bucket cleanly for both classifier
-    contracts and leaves serving results unchanged. The queue worker calls
-    it before binding its PULL port, so the tunneled chip's first-execution
-    cost (measured 50-520 s, docs/performance.md "Serving rehearsal") is
-    paid at startup instead of inside the first user request."""
-    cfg, model, variables = tiny
-    p1 = str(tmp_path / "w1.vctaot")
-    export_servable(model, variables, list("abcd"), SHAPE, p1,
-                    batch_sizes=(2, 4))
-    sv = AotServable.load(p1)
-    sv.warmup()
-    clips = np.random.RandomState(5).rand(3, *SHAPE).astype(np.float32)
-    want = np.asarray(
-        jax.nn.softmax(model.apply(variables, jnp.asarray(clips)), axis=-1)
-    )
-    np.testing.assert_allclose(sv.classify(clips), want, atol=1e-5)
-
-    # raw-input contract: warmup must feed uint8 zeros + in-range lengths
-    p2 = str(tmp_path / "w2.vctaot")
-    export_servable(model, variables, list("abcd"), SHAPE, p2,
-                    batch_sizes=(2,), device_sampling="sad", raw_len=7)
-    AotServable.load(p2).warmup()
 
 
 # ---------------------------------------------------------------------------

@@ -194,3 +194,53 @@ def test_ssim_pair_scores_matches_xla():
         np.testing.assert_allclose(got, want, atol=2e-6, err_msg=str(shape))
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.argsort(g), np.argsort(w))
+
+
+def test_pair_scores_matches_xla():
+    """The chunked Pallas SAD/flow scorer vs the XLA `device_frame_scores`
+    reference (itself host-golden-tested in test_data.py): sad bit-exact
+    (integer accumulation), flow to 1e-6 (f32 accumulation, different
+    order). Shapes cover both kernel layouts — the whole-clip layout and,
+    via a tiny _CLIP_VMEM_BYTES monkeypatch, the blocked two-view layout
+    with a ragged final block — plus L<2 and chunk-boundary L values."""
+    from vct.data.samplers import device_frame_scores
+    from vct.ops import pair_scores_pallas
+
+    rng = np.random.RandomState(1)
+    for shape in ((2, 7, 16, 16, 3), (1, 18, 9, 11, 3), (3, 17, 8, 8, 1)):
+        clips = rng.randint(0, 256, shape, np.uint8)
+        for method in ("sad", "flow"):
+            got = np.asarray(
+                pair_scores_pallas.pair_scores(jnp.asarray(clips), method)
+            )
+            want = np.stack([
+                np.asarray(device_frame_scores(jnp.asarray(c), method))
+                for c in clips
+            ])
+            if method == "sad":
+                np.testing.assert_array_equal(got, want, err_msg=str(shape))
+            else:
+                np.testing.assert_allclose(
+                    got, want, rtol=1e-6, err_msg=str(shape)
+                )
+    assert pair_scores_pallas.pair_scores(
+        jnp.zeros((2, 1, 4, 4, 3), jnp.uint8)).shape == (2, 0)
+    with pytest.raises(TypeError, match="integer"):
+        pair_scores_pallas.pair_scores(jnp.zeros((1, 3, 4, 4, 3)))
+
+    # blocked layout (big-clip fallback), incl. the ragged final block
+    old = pair_scores_pallas._CLIP_VMEM_BYTES
+    pair_scores_pallas._CLIP_VMEM_BYTES = 0
+    try:
+        clips = rng.randint(0, 256, (2, 20, 12, 10, 3), np.uint8)
+        for method in ("sad", "flow"):
+            got = np.asarray(
+                pair_scores_pallas.pair_scores(jnp.asarray(clips), method)
+            )
+            want = np.stack([
+                np.asarray(device_frame_scores(jnp.asarray(c), method))
+                for c in clips
+            ])
+            np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=method)
+    finally:
+        pair_scores_pallas._CLIP_VMEM_BYTES = old

@@ -117,6 +117,13 @@ def device_sample_clips(
             from vct.ops.ssim_pallas import ssim_pair_scores
 
             scores_all = 1.0 - ssim_pair_scores(raw)
+        elif jnp.issubdtype(raw.dtype, jnp.integer):
+            # Chunked one-pass Pallas SAD/flow scoring (sad is bit-identical
+            # to the XLA path; vct.ops.pair_scores_pallas — the vmapped XLA
+            # scorer below stays the golden reference).
+            from vct.ops.pair_scores_pallas import pair_scores
+
+            scores_all = pair_scores(raw, method)
         else:
             scores_all = jax.vmap(
                 lambda c: device_frame_scores(c, method)

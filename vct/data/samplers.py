@@ -265,6 +265,11 @@ def device_frame_scores(clip, method: str = "sad"):
     # frames — both domains are exact at this reduction size) measured 32%
     # SLOWER on the v5e (3.59 vs 2.71 ms for score+topk+gather+norm at the
     # bench geometry); the VPU's f32 lanes beat its i32 path here.
+    # The batched selection path now scores sad/flow through the chunked
+    # Pallas kernel (vct.ops.pair_scores_pallas, 1.97 -> 1.18 ms scoring
+    # stage; sad bit-identical to this function) — this XLA version remains
+    # the per-clip API and the golden reference the kernel is tested
+    # against.
     x = clip.astype(jnp.float32)
     prev, curr = x[:-1], x[1:]
     if method == "sad":

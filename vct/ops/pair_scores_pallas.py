@@ -1,0 +1,161 @@
+"""One-pass Pallas SAD / flow-proxy pair scoring for on-device selection.
+
+The XLA scoring path (``vct.data.samplers.device_frame_scores`` vmapped over
+the batch) costs ~2.0-2.3 ms at the bench geometry (32 clips x 80 frames x
+80x80x3 uint8) — ~18x off the memory bound for the 49 MB of uint8 it reads,
+because XLA materializes the uint8->f32 convert of the whole shifted-pair
+tensors before the diff/abs/reduce fusion consumes them. Since SAD selection
+is the recorded headline mode (``BENCH_r04.json``), that cost is most of the
+gap between the sad and uniform sampling modes (1912-1990 vs 2143 clips/s).
+
+Two kernel layouts, routed by per-clip VMEM footprint (both measured on the
+v5e at the bench geometry, scoring stage alone, vs XLA's 1.97 ms):
+
+* **clip layout** (footprint <= _CLIP_VMEM_BYTES): grid over clips only; the
+  whole (L, H, W*C) uint8 clip is one VMEM block, transitions are scored in
+  statically-unrolled K-frame chunks with leading-axis slices (no alignment
+  constraints there). Each frame is read from HBM ONCE. **1.18 ms**.
+* **blocked layout** (any size): grid (B, ceil((L-1)/K)); the two shifted
+  views x[:, :-1] / x[:, 1:] are blocked K transitions at a time. Each frame
+  is read twice plus the shifted-view materialization, but VMEM holds only
+  2K frames. **1.30 ms**.
+
+Per-grid-step work was the original bottleneck, not arithmetic: a first
+per-transition variant (grid (B, L-1), one 19 KB frame pair per step, the
+``ssim_pallas`` layout) measured **1.89 ms** — no better than XLA, the 2528
+tiny DMA steps dominate. The chunked layouts amortize them.
+
+The math is INTEGER for "sad" (`sum |a - b|` in i32 — exact, so scores are
+bit-identical to the XLA f32 path whenever the true sum fits f32's 2^24
+integer window; 80x80x3 frames max out at 4.9M) and f32-accumulated for
+"flow" (`sum (a - b)^2`: 255^2-sized terms overflow i32 at >= 224x224x3,
+and the XLA path accumulates f32 anyway).
+
+Reference behavior being matched: the host per-pair SAD / Farneback loops in
+``lrcn/lrcn.py:57-72`` (flow magnitude proxied by difference energy — the
+documented deviation, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pair_scores"]
+
+# Whole-clip blocks above this fall back to the blocked layout: the clip
+# block + one chunk's i32/f32 temporaries must fit ~16 MB of VMEM.
+_CLIP_VMEM_BYTES = 4 * 1024 * 1024
+_K = 16  # transitions scored per chunk / per grid step
+
+
+def _chunk_scores(a, b, square: bool):
+    """(k, H, WC) uint8 pair -> (k, 1) f32 scores. i32 diff in-register;
+    sad accumulates i32 (exact), flow f32 (overflow-safe, XLA-equivalent)."""
+    d = b.astype(jnp.int32) - a.astype(jnp.int32)
+    if square:
+        df = d.astype(jnp.float32)
+        s = jnp.sum(df * df, axis=2, keepdims=True)  # lane reduce
+        return jnp.sum(s, axis=1)  # (k, 1) — keep 2-D: Mosaic rejects
+        # 1-D i32->f32 converts (vector<Kxi32> sitofp has no layout)
+    s = jnp.sum(jnp.abs(d), axis=2, keepdims=True)
+    return jnp.sum(s, axis=1).astype(jnp.float32)
+
+
+def _scatter_row(row, lane, base: int, s, k: int):
+    """Write the chunk's k scores into lanes [base, base+k) of the revisited
+    output row. TPU lowering rejects narrow output blocks and dynamic
+    single-lane stores (see ssim_pallas), so each scalar lands via a
+    one-hot select; the row stays VMEM-resident across the unrolled chunks
+    and flushes once per clip."""
+    for kk in range(k):
+        row = jnp.where(lane == base + kk, s[kk, 0], row)
+    return row
+
+
+def _clip_kernel(x_ref, o_ref, *, L: int, square: bool):
+    x = x_ref[0]  # (L, H, WC) uint8, the whole clip
+    row = o_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    # Statically-unrolled chunks: leading-axis slices carry no tile-alignment
+    # constraints, so the +1-frame shift needs no second input view.
+    for j in range(0, L - 1, _K):
+        k = min(_K, L - 1 - j)
+        s = _chunk_scores(x[j:j + k], x[j + 1:j + 1 + k], square)
+        row = _scatter_row(row, lane, j, s, k)
+    o_ref[0] = row
+
+
+def _blocked_kernel(a_ref, b_ref, o_ref, *, K: int, square: bool):
+    i = pl.program_id(1)
+    s = _chunk_scores(a_ref[0], b_ref[0], square)
+    row = o_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    o_ref[0] = _scatter_row(row, lane, i * K, s, K)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def pair_scores(clips: jax.Array, method: str = "sad") -> jax.Array:
+    """Per-transition change score of every consecutive frame pair, batched.
+
+    clips: (B, L, H, W, C) uint8 (any integer dtype). Returns (B, L-1) f32 —
+    score(frame[i] -> frame[i+1]); per clip identical to
+    ``device_frame_scores(clip, method)``. methods: "sad" | "flow".
+    """
+    if method not in ("sad", "flow"):
+        raise KeyError(f"pair_scores supports sad|flow, got {method!r}")
+    if not jnp.issubdtype(clips.dtype, jnp.integer):
+        raise TypeError(
+            f"pair_scores wants integer frames (got {clips.dtype}); the f32 "
+            "path is vct.data.samplers.device_frame_scores"
+        )
+    B, L, H, W, C = clips.shape
+    if L < 2:
+        return jnp.zeros((B, 0), jnp.float32)
+    x = clips.reshape(B, L, H, W * C)  # row-major: free reshape
+    square = method == "flow"
+    interpret = jax.default_backend() != "tpu"
+    out_spec = pl.BlockSpec(
+        (1, 1, L - 1), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((B, 1, L - 1), jnp.float32)
+    if L * H * W * C <= _CLIP_VMEM_BYTES:
+        out = pl.pallas_call(
+            partial(_clip_kernel, L=L, square=square),
+            grid=(B,),
+            in_specs=[pl.BlockSpec(
+                (1, L, H, W * C), lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x)
+    else:
+        # K-transition blocks over the two shifted views. The final ragged
+        # block reads past L-1 into padding; its scores land in lanes
+        # >= L-1 of the one-hot scatter, which the (L-1)-wide row ignores.
+        a, b = x[:, :L - 1], x[:, 1:]
+        nb = -(-(L - 1) // _K)
+        out = pl.pallas_call(
+            partial(_blocked_kernel, K=_K, square=square),
+            grid=(B, nb),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, _K, H, W * C), lambda bi, i: (bi, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _K, H, W * C), lambda bi, i: (bi, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(a, b)
+    return out[:, 0, :]
