@@ -177,23 +177,36 @@ def test_normalize_frames_pallas():
 def test_ssim_pair_scores_matches_xla():
     """The one-pass Pallas SSIM scorer vs the XLA `_device_ssim` reference
     (itself skimage-golden-tested in test_data.py) — values to ~1e-6 and
-    identical rankings, including non-tile-aligned frame sizes."""
+    identical rankings, including non-tile-aligned frame sizes, for BOTH
+    kernel layouts (chunked whole-clip default; per-pair big-clip fallback
+    via a tiny _CLIP_VMEM_BYTES monkeypatch)."""
     from vct.data.samplers import _device_ssim
-    from vct.ops.ssim_pallas import ssim_pair_scores
+    from vct.ops import ssim_pallas
 
     rng = np.random.RandomState(0)
-    for shape in ((2, 7, 16, 16, 3), (1, 5, 9, 11, 3), (3, 4, 8, 8, 1)):
-        clips = rng.randint(0, 256, shape, np.uint8)
-        got = np.asarray(ssim_pair_scores(jnp.asarray(clips)))
-        want = np.stack([
-            np.asarray(_device_ssim(
-                jnp.asarray(c[:-1], jnp.float32), jnp.asarray(c[1:], jnp.float32)
-            ))
-            for c in clips
-        ])
-        np.testing.assert_allclose(got, want, atol=2e-6, err_msg=str(shape))
-        for g, w in zip(got, want):
-            np.testing.assert_array_equal(np.argsort(g), np.argsort(w))
+    old = ssim_pallas._CLIP_VMEM_BYTES
+    for budget in (old, 0):
+        ssim_pallas._CLIP_VMEM_BYTES = budget
+        # the layout choice is baked in at trace time — retrace per budget
+        ssim_pallas.ssim_pair_scores.clear_cache()
+        try:
+            for shape in ((2, 11, 16, 16, 3), (1, 5, 9, 11, 3), (3, 4, 8, 8, 1)):
+                clips = rng.randint(0, 256, shape, np.uint8)
+                got = np.asarray(ssim_pallas.ssim_pair_scores(jnp.asarray(clips)))
+                want = np.stack([
+                    np.asarray(_device_ssim(
+                        jnp.asarray(c[:-1], jnp.float32),
+                        jnp.asarray(c[1:], jnp.float32),
+                    ))
+                    for c in clips
+                ])
+                np.testing.assert_allclose(
+                    got, want, atol=2e-6, err_msg=f"{shape} budget={budget}"
+                )
+                for g, w in zip(got, want):
+                    np.testing.assert_array_equal(np.argsort(g), np.argsort(w))
+        finally:
+            ssim_pallas._CLIP_VMEM_BYTES = old
 
 
 def test_pair_scores_matches_xla():

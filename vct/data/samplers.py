@@ -319,7 +319,8 @@ def _device_ssim(a, b, win: int = 3, data_range: float = 255.0):
     # tensors break XLA's conv→elementwise fusion and force the full-L
     # moments out to HBM, costing more than the redundant filter math saves.
     # What finally beat this XLA version is a SINGLE-PASS PALLAS KERNEL
-    # (vct.ops.ssim_pallas, 1216 -> 1795 clips/s): all five moments as
+    # (vct.ops.ssim_pallas, 1216 -> 1795 -> 1960 clips/s after its chunked
+    # whole-clip layout): all five moments as
     # roll-shifted adds inside VMEM, only the scalar mean leaving the core —
     # the batched selection path (preprocess.device_sample_clips) uses it;
     # this XLA implementation remains the per-clip API and the golden

@@ -15,9 +15,12 @@ only the scalar mean-SSIM leaves the core. HBM traffic drops from ~10
 f32-map round trips per pair to 2 uint8 frame reads + 4 bytes out.
 Measured on the v5e at the bench geometry (32 clips x 80 frames x 80x80x3,
 ``VCT_BENCH_MODE=sampling VCT_BENCH_SAMPLING=ssim``): **1216 -> 1795
-clips/s end to end (+48%)**; ssim's selection overhead vs the uniform mode
-(2143 clips/s) drops from 43% to 16%, in line with the other scored modes
-(sad 1912, flow 1960).
+clips/s end to end (+48%)** with the per-pair grid, then **-> 1960** after
+the chunked whole-clip layout landed (scoring stage 3.83 -> 2.40 ms: the
+per-pair grid's 2528 small DMA steps carry real overhead — the same finding
+that drove ``vct.ops.pair_scores_pallas``); ssim's selection overhead vs
+the uniform mode (2143 clips/s) drops from 43% to ~9%, in line with the
+other scored modes (sad 2087, flow 2089).
 
 Channel handling without a transpose: an (H, W, C) frame in row-major order
 IS an (H, W*C) array, and a window shift by one frame column is a shift by C
@@ -42,6 +45,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ssim_pair_scores"]
+
+# Clips whose whole-clip uint8 block fits this budget take the chunked
+# layout (grid over clips, K transitions per statically-unrolled chunk, each
+# frame DMA'd once — measured 3.83 -> 2.40 ms scoring stage at the bench
+# geometry: the per-pair grid's 2528 small DMA steps carry real overhead,
+# same finding as vct.ops.pair_scores_pallas). Bigger clips keep the
+# per-pair grid, which only ever holds two frames in VMEM.
+_CLIP_VMEM_BYTES = 4 * 1024 * 1024
+_K = 8  # transitions per chunk; ~8 live (K, H, W*C) f32 temporaries
 
 
 def _ssim_kernel(a_ref, b_ref, o_ref, *, C: int, win: int, c1: float,
@@ -98,6 +110,55 @@ def _ssim_kernel(a_ref, b_ref, o_ref, *, C: int, win: int, c1: float,
     o_ref[0] = jnp.where(lane == i, jnp.sum(s) / count, row)
 
 
+def _ssim_clip_kernel(x_ref, o_ref, *, L: int, C: int, win: int, c1: float,
+                      c2: float, cov_norm: float):
+    """Chunked layout: the whole (L, H, W*C) uint8 clip is one VMEM block;
+    each unrolled chunk scores K transitions vectorized over the leading
+    axis (same roll-shifted window sums as `_ssim_kernel`, axes shifted by
+    one). Leading-axis slices carry no tile-alignment constraints, so the
+    +1-frame shift needs no second input view."""
+    x = x_ref[0]
+    _, H, WC = x.shape
+    n2 = WC - (win - 1) * C
+    inv_n = 1.0 / (win * win)
+    count = (H - win + 1) * n2
+    row = o_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    for j in range(0, L - 1, _K):
+        k = min(_K, L - 1 - j)
+        a = x[j:j + k].astype(jnp.int32).astype(jnp.float32)  # (k, H, WC)
+        b = x[j + 1:j + 1 + k].astype(jnp.int32).astype(jnp.float32)
+
+        def win_sum(v):
+            rows = v
+            for r in range(1, win):
+                rows = rows + pltpu.roll(v, shift=H - r, axis=1)
+            out = rows
+            for c in range(1, win):
+                out = out + pltpu.roll(rows, shift=WC - c * C, axis=2)
+            return out
+
+        ua = win_sum(a) * inv_n
+        ub = win_sum(b) * inv_n
+        uaa = win_sum(a * a) * inv_n
+        ubb = win_sum(b * b) * inv_n
+        uab = win_sum(a * b) * inv_n
+        va = cov_norm * (uaa - ua * ua)
+        vb = cov_norm * (ubb - ub * ub)
+        vab = cov_norm * (uab - ua * ub)
+        s = ((2.0 * ua * ub + c1) * (2.0 * vab + c2)) / (
+            (ua * ua + ub * ub + c1) * (va + vb + c2)
+        )
+        rid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        cid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where((rid <= H - win) & (cid < n2), s, 0.0)
+        sm = jnp.sum(s, axis=2, keepdims=True)
+        sm = jnp.sum(sm, axis=1) / count  # (k, 1)
+        for kk in range(k):
+            row = jnp.where(lane == j + kk, sm[kk, 0], row)
+    o_ref[0] = row
+
+
 @partial(jax.jit, static_argnames=("win", "data_range"))
 def ssim_pair_scores(
     clips: jax.Array, win: int = 3, data_range: float = 255.0
@@ -117,6 +178,23 @@ def ssim_pair_scores(
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     n = win * win
+    interpret = jax.default_backend() != "tpu"
+    if L * H * W * C <= _CLIP_VMEM_BYTES:
+        return pl.pallas_call(
+            partial(_ssim_clip_kernel, L=L, C=C, win=win, c1=c1, c2=c2,
+                    cov_norm=n / (n - 1)),
+            grid=(B,),
+            in_specs=[pl.BlockSpec(
+                (1, L, H, W * C), lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )],
+            out_specs=pl.BlockSpec(
+                (1, 1, L - 1), lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, 1, L - 1), jnp.float32),
+            interpret=interpret,
+        )(x)[:, 0, :]
     kernel = partial(
         _ssim_kernel, C=C, win=win, c1=c1, c2=c2, cov_norm=n / (n - 1)
     )
@@ -141,5 +219,5 @@ def ssim_pair_scores(
             (1, 1, L - 1), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, 1, L - 1), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
     )(x, x)[:, 0, :]
