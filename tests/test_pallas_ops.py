@@ -241,6 +241,11 @@ def test_pair_scores_matches_xla():
     with pytest.raises(TypeError, match="integer"):
         pair_scores_pallas.pair_scores(jnp.zeros((1, 3, 4, 4, 3)))
 
+    from vct.ops.ssim_pallas import ssim_pair_scores
+
+    with pytest.raises(TypeError, match="integer"):
+        ssim_pair_scores(jnp.zeros((1, 3, 4, 4, 3)))
+
     # blocked layout (big-clip fallback), incl. the ragged final block
     old = pair_scores_pallas._CLIP_VMEM_BYTES
     pair_scores_pallas._CLIP_VMEM_BYTES = 0
@@ -257,3 +262,29 @@ def test_pair_scores_matches_xla():
             np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=method)
     finally:
         pair_scores_pallas._CLIP_VMEM_BYTES = old
+
+
+def test_device_sample_clips_float_frames_route_to_xla():
+    """[0,1]-scaled FLOAT frames must select the same frames the XLA scorer
+    would: the Pallas kernels widen through int32, which floors non-integer
+    values (a [0,1] frame would score near zero and select garbage), so
+    device_sample_clips routes non-integer dtypes to the XLA path.
+    Regression for a round-5 review finding."""
+    from vct.data.preprocess import device_sample_clips, preprocess_clips
+    from vct.data.samplers import device_frame_scores, device_topk_indices
+
+    rng = np.random.RandomState(3)
+    raw8 = rng.randint(0, 256, (2, 10, 12, 12, 3), np.uint8)
+    rawf = jnp.asarray(raw8, jnp.float32) / 255.0  # non-integer values
+    T = 4
+    for method, style in (("sad", "script"), ("flow", "script"),
+                          ("ssim", "canonical")):
+        got = device_sample_clips(rawf, T, method=method)
+        scores = jax.vmap(lambda c: device_frame_scores(c, method))(rawf)
+        idx = jax.vmap(lambda s: device_topk_indices(s, T, style))(scores)
+        want = preprocess_clips(
+            jnp.take_along_axis(rawf, idx[:, :, None, None, None], axis=1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6, err_msg=method
+        )

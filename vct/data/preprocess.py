@@ -109,21 +109,22 @@ def device_sample_clips(
         # ssim keeps the canonical frame0+later shape; sad/flow keep their
         # lrcn-script earlier-frame shape (see device_topk_indices).
         style = "canonical" if method == "ssim" else "script"
-        if method == "ssim":
-            # One-pass Pallas scoring: all five windowed moments per frame
-            # pair computed inside VMEM, only the scalar means leave the
-            # core (vct.ops.ssim_pallas; XLA reference kept as
-            # samplers._device_ssim and golden-compared in tests).
-            from vct.ops.ssim_pallas import ssim_pair_scores
+        if jnp.issubdtype(raw.dtype, jnp.integer):
+            # One-pass Pallas scoring kernels (vct.ops.ssim_pallas /
+            # pair_scores_pallas): scores computed inside VMEM, only the
+            # per-transition scalars leave the core; sad is bit-identical
+            # to the XLA path. Integer frames only — the kernels' in-VMEM
+            # widen goes through int32 and would truncate floats, so those
+            # take the vmapped XLA scorer below (which also stays the
+            # golden reference the kernels are tested against).
+            if method == "ssim":
+                from vct.ops.ssim_pallas import ssim_pair_scores
 
-            scores_all = 1.0 - ssim_pair_scores(raw)
-        elif jnp.issubdtype(raw.dtype, jnp.integer):
-            # Chunked one-pass Pallas SAD/flow scoring (sad is bit-identical
-            # to the XLA path; vct.ops.pair_scores_pallas — the vmapped XLA
-            # scorer below stays the golden reference).
-            from vct.ops.pair_scores_pallas import pair_scores
+                scores_all = 1.0 - ssim_pair_scores(raw)
+            else:
+                from vct.ops.pair_scores_pallas import pair_scores
 
-            scores_all = pair_scores(raw, method)
+                scores_all = pair_scores(raw, method)
         else:
             scores_all = jax.vmap(
                 lambda c: device_frame_scores(c, method)

@@ -8,11 +8,11 @@ at-site in samplers.py (15-channel stacked conv, shifted-slice-add, shared
 filtering across consecutive pairs): XLA materializes every rearrangement
 back to HBM.
 
-This kernel computes the whole thing in ONE pass per frame pair: the two
-uint8 frames are DMA'd to VMEM once, converted to f32 in-register, all five
-3x3-window moments come from roll-shifted adds entirely inside VMEM, and
-only the scalar mean-SSIM leaves the core. HBM traffic drops from ~10
-f32-map round trips per pair to 2 uint8 frame reads + 4 bytes out.
+This kernel computes the whole thing in ONE pass per frame pair: the uint8
+frames are DMA'd to VMEM, converted to f32 in-register, all five 3x3-window
+moments come from roll-shifted adds entirely inside VMEM, and only the
+scalar mean-SSIM leaves the core. HBM traffic drops from ~10 f32-map round
+trips per pair to 1-2 uint8 frame reads + 4 bytes out.
 Measured on the v5e at the bench geometry (32 clips x 80 frames x 80x80x3,
 ``VCT_BENCH_MODE=sampling VCT_BENCH_SAMPLING=ssim``): **1216 -> 1795
 clips/s end to end (+48%)** with the per-pair grid, then **-> 1960** after
@@ -22,15 +22,26 @@ that drove ``vct.ops.pair_scores_pallas``); ssim's selection overhead vs
 the uniform mode (2143 clips/s) drops from 43% to ~9%, in line with the
 other scored modes (sad 2087, flow 2089).
 
+Two layouts share the moment math (``_ssim_chunk_scores``), routed by the
+clip's VMEM byte footprint: the chunked whole-clip layout (each frame read
+from HBM once, K transitions per statically-unrolled chunk, K adapted to
+the frame size so the ~8 live (K, H, W*C) f32 moment maps stay in budget)
+and the per-pair grid fallback for clips too big to hold in VMEM (only two
+frames resident; frame i is fetched as `b` of step i-1 and `a` of step i).
+
 Channel handling without a transpose: an (H, W, C) frame in row-major order
 IS an (H, W*C) array, and a window shift by one frame column is a shift by C
 flattened columns — so the W-direction window sum adds slices offset by C
 and the valid region keeps every channel's windows interleaved. Mean over
 the (H-2, (W-2)*C) valid block equals skimage's mean over (H-2, W-2, C).
 
+Integer frames only: the in-kernel widen goes through int32 (Mosaic has no
+direct uint8->f32 cast), which would TRUNCATE float inputs — those are
+rejected, and ``device_sample_clips`` routes them to the XLA scorer.
+
 Parity: ranking-equal and value-close to the host skimage-style SSIM
 (``tests/test_data.py``); bit-level agreement with the XLA `_device_ssim`
-to ~1e-6 (``test_pallas_ops.py::test_ssim_pair_scores_matches_xla``).
+to ~1e-6 for BOTH layouts (``test_pallas_ops.py``).
 Reference behavior being matched: per-pair ``compare_ssim`` host scoring in
 ``medsos_lrcn/src/loader_data.py:15-33``.
 """
@@ -44,40 +55,37 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vct.ops.pair_scores_pallas import _chunk_len, _scatter_row
+
 __all__ = ["ssim_pair_scores"]
 
-# Clips whose whole-clip uint8 block fits this budget take the chunked
-# layout (grid over clips, K transitions per statically-unrolled chunk, each
-# frame DMA'd once — measured 3.83 -> 2.40 ms scoring stage at the bench
-# geometry: the per-pair grid's 2528 small DMA steps carry real overhead,
-# same finding as vct.ops.pair_scores_pallas). Bigger clips keep the
-# per-pair grid, which only ever holds two frames in VMEM.
+# Clips whose whole-clip block fits this byte budget take the chunked
+# layout; bigger clips keep the per-pair grid, which only ever holds two
+# frames (plus their f32 moment maps) in VMEM.
 _CLIP_VMEM_BYTES = 4 * 1024 * 1024
-_K = 8  # transitions per chunk; ~8 live (K, H, W*C) f32 temporaries
+# ~8 (K, H, W*C) f32 moment maps are live per chunk — a tighter per-array
+# budget than the SAD kernel's keeps their sum within VMEM.
+_K_MAX = 8
+_CHUNK_F32_BYTES = 768 * 1024
 
 
-def _ssim_kernel(a_ref, b_ref, o_ref, *, C: int, win: int, c1: float,
-                 c2: float, cov_norm: float):
-    i = pl.program_id(1)
-    # Mosaic has no direct uint8->f32 cast; widen through int32 (free on the
-    # VPU) so raw frames can stay uint8 all the way into VMEM.
-    a = a_ref[0, 0].astype(jnp.int32).astype(jnp.float32)  # (H, W*C)
-    b = b_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-    H, WC = a.shape
+def _ssim_chunk_scores(a, b, *, C: int, win: int, c1: float, c2: float,
+                       cov_norm: float):
+    """(k, H, WC) f32 frame pairs -> (k, 1) mean-SSIM. The win x win window
+    sums are roll-shifted adds (Mosaic rejects lane-dim slices at
+    non-128-multiple offsets; roll is a native rotate); wrapped tail
+    rows/cols are garbage and are masked out of the mean."""
+    _, H, WC = a.shape
     n2 = WC - (win - 1) * C  # (W - win + 1) * C valid flattened columns
 
-    def win_sum(x):
-        # win x win window sum anchored top-left, via lane/sublane rotates
-        # (Mosaic rejects lane-dim slices at non-128-multiple offsets; roll
-        # is a native rotate). Wrapped tail rows/cols are garbage and are
-        # masked out of the final mean.
-        rows = x
+    def win_sum(v):
+        rows = v
         for r in range(1, win):
             # roll by size-k == roll by -k (pltpu.roll wants shift >= 0)
-            rows = rows + pltpu.roll(x, shift=H - r, axis=0)
+            rows = rows + pltpu.roll(v, shift=H - r, axis=1)
         out = rows
         for c in range(1, win):
-            out = out + pltpu.roll(rows, shift=WC - c * C, axis=1)
+            out = out + pltpu.roll(rows, shift=WC - c * C, axis=2)
         return out
 
     inv_n = 1.0 / (win * win)
@@ -92,70 +100,53 @@ def _ssim_kernel(a_ref, b_ref, o_ref, *, C: int, win: int, c1: float,
     s = ((2.0 * ua * ub + c1) * (2.0 * vab + c2)) / (
         (ua * ua + ub * ub + c1) * (va + vb + c2)
     )
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (H, WC), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, WC), 1)
-    valid = (row_ids <= H - win) & (col_ids < n2)
-    s = jnp.where(valid, s, 0.0)
+    rid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    cid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where((rid <= H - win) & (cid < n2), s, 0.0)
     count = (H - win + 1) * n2
-    # One scalar per grid step into the clip's revisited (1, 1, L-1) output
-    # row. TPU lowering rejects (1, 1) output blocks (last two block dims
-    # must be (8, 128)-divisible or span the array) AND dynamic single-lane
-    # stores, so: the output carries a singleton middle axis making the
-    # block's trailing dims span the array, and the store is a one-hot
-    # select read-modify-write of the whole row (each lane is written at
-    # exactly its own grid step; the index_map is constant in i, so the row
-    # stays VMEM-resident until the clip index advances, then flushes once).
-    row = o_ref[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    o_ref[0] = jnp.where(lane == i, jnp.sum(s) / count, row)
+    sm = jnp.sum(s, axis=2, keepdims=True)
+    return jnp.sum(sm, axis=1) / count  # (k, 1)
 
 
-def _ssim_clip_kernel(x_ref, o_ref, *, L: int, C: int, win: int, c1: float,
+def _widen(x):
+    # Mosaic has no direct uint8->f32 cast; widen through int32 (free on
+    # the VPU) so raw frames stay uint8 all the way into VMEM.
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _ssim_pair_kernel(a_ref, b_ref, o_ref, *, C: int, win: int, c1: float,
                       c2: float, cov_norm: float):
-    """Chunked layout: the whole (L, H, W*C) uint8 clip is one VMEM block;
-    each unrolled chunk scores K transitions vectorized over the leading
-    axis (same roll-shifted window sums as `_ssim_kernel`, axes shifted by
-    one). Leading-axis slices carry no tile-alignment constraints, so the
-    +1-frame shift needs no second input view."""
-    x = x_ref[0]
-    _, H, WC = x.shape
-    n2 = WC - (win - 1) * C
-    inv_n = 1.0 / (win * win)
-    count = (H - win + 1) * n2
+    """Per-pair grid: one (H, W*C) frame pair per step. One scalar per grid
+    step lands in the clip's revisited (1, 1, L-1) output row — TPU lowering
+    rejects (1, 1) output blocks and dynamic single-lane stores, so the
+    store is a one-hot select of the whole row (the index_map is constant in
+    i, so the row stays VMEM-resident until the clip index advances)."""
+    i = pl.program_id(1)
+    sm = _ssim_chunk_scores(
+        _widen(a_ref[0]), _widen(b_ref[0]),
+        C=C, win=win, c1=c1, c2=c2, cov_norm=cov_norm,
+    )
     row = o_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    for j in range(0, L - 1, _K):
-        k = min(_K, L - 1 - j)
-        a = x[j:j + k].astype(jnp.int32).astype(jnp.float32)  # (k, H, WC)
-        b = x[j + 1:j + 1 + k].astype(jnp.int32).astype(jnp.float32)
+    o_ref[0] = _scatter_row(row, lane, i, sm, 1)
 
-        def win_sum(v):
-            rows = v
-            for r in range(1, win):
-                rows = rows + pltpu.roll(v, shift=H - r, axis=1)
-            out = rows
-            for c in range(1, win):
-                out = out + pltpu.roll(rows, shift=WC - c * C, axis=2)
-            return out
 
-        ua = win_sum(a) * inv_n
-        ub = win_sum(b) * inv_n
-        uaa = win_sum(a * a) * inv_n
-        ubb = win_sum(b * b) * inv_n
-        uab = win_sum(a * b) * inv_n
-        va = cov_norm * (uaa - ua * ua)
-        vb = cov_norm * (ubb - ub * ub)
-        vab = cov_norm * (uab - ua * ub)
-        s = ((2.0 * ua * ub + c1) * (2.0 * vab + c2)) / (
-            (ua * ua + ub * ub + c1) * (va + vb + c2)
+def _ssim_clip_kernel(x_ref, o_ref, *, L: int, K: int, C: int, win: int,
+                      c1: float, c2: float, cov_norm: float):
+    """Chunked layout: the whole (L, H, W*C) uint8 clip is one VMEM block;
+    each statically-unrolled chunk scores K transitions vectorized over the
+    leading axis. Leading-axis slices carry no tile-alignment constraints,
+    so the +1-frame shift needs no second input view."""
+    x = x_ref[0]
+    row = o_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    for j in range(0, L - 1, K):
+        k = min(K, L - 1 - j)
+        sm = _ssim_chunk_scores(
+            _widen(x[j:j + k]), _widen(x[j + 1:j + 1 + k]),
+            C=C, win=win, c1=c1, c2=c2, cov_norm=cov_norm,
         )
-        rid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        cid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where((rid <= H - win) & (cid < n2), s, 0.0)
-        sm = jnp.sum(s, axis=2, keepdims=True)
-        sm = jnp.sum(sm, axis=1) / count  # (k, 1)
-        for kk in range(k):
-            row = jnp.where(lane == j + kk, sm[kk, 0], row)
+        row = _scatter_row(row, lane, j, sm, k)
     o_ref[0] = row
 
 
@@ -165,10 +156,15 @@ def ssim_pair_scores(
 ) -> jax.Array:
     """Mean SSIM of every consecutive frame pair, batched.
 
-    clips: (B, L, H, W, C) uint8 (or any real dtype; converted to f32
-    in-kernel). Returns (B, L-1) f32 — SSIM(frame[i], frame[i+1]).
-    Matches ``_device_ssim(clip[:-1], clip[1:])`` per clip.
+    clips: (B, L, H, W, C) uint8 (any integer dtype). Returns (B, L-1) f32 —
+    SSIM(frame[i], frame[i+1]). Matches ``_device_ssim(clip[:-1], clip[1:])``
+    per clip.
     """
+    if not jnp.issubdtype(clips.dtype, jnp.integer):
+        raise TypeError(
+            f"ssim_pair_scores wants integer frames (got {clips.dtype}); "
+            "the f32 path is vct.data.samplers._device_ssim"
+        )
     B, L, H, W, C = clips.shape
     if L < 2:
         return jnp.zeros((B, 0), jnp.float32)
@@ -178,32 +174,29 @@ def ssim_pair_scores(
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     n = win * win
+    cov_norm = n / (n - 1)
     interpret = jax.default_backend() != "tpu"
-    if L * H * W * C <= _CLIP_VMEM_BYTES:
+    out_spec = pl.BlockSpec(
+        (1, 1, L - 1), lambda bi, *_: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((B, 1, L - 1), jnp.float32)
+    if clips.dtype.itemsize * L * H * W * C <= _CLIP_VMEM_BYTES:
+        K = _chunk_len(H, W, C, cap=_K_MAX, budget=_CHUNK_F32_BYTES)
         return pl.pallas_call(
-            partial(_ssim_clip_kernel, L=L, C=C, win=win, c1=c1, c2=c2,
-                    cov_norm=n / (n - 1)),
+            partial(_ssim_clip_kernel, L=L, K=K, C=C, win=win, c1=c1, c2=c2,
+                    cov_norm=cov_norm),
             grid=(B,),
             in_specs=[pl.BlockSpec(
                 (1, L, H, W * C), lambda bi: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )],
-            out_specs=pl.BlockSpec(
-                (1, 1, L - 1), lambda bi: (bi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((B, 1, L - 1), jnp.float32),
+            out_specs=out_spec,
+            out_shape=out_shape,
             interpret=interpret,
         )(x)[:, 0, :]
-    kernel = partial(
-        _ssim_kernel, C=C, win=win, c1=c1, c2=c2, cov_norm=n / (n - 1)
-    )
-    # Grid over (clip, transition): the pallas pipeline double-buffers the
-    # two frame blocks; frame i is fetched as `b` of step i-1 and `a` of
-    # step i (2 uint8 reads per frame — still ~40x less HBM traffic than
-    # the ten-f32-map XLA path).
     return pl.pallas_call(
-        kernel,
+        partial(_ssim_pair_kernel, C=C, win=win, c1=c1, c2=c2,
+                cov_norm=cov_norm),
         grid=(B, L - 1),
         in_specs=[
             pl.BlockSpec(
@@ -215,9 +208,7 @@ def ssim_pair_scores(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, L - 1), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, 1, L - 1), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(x, x)[:, 0, :]

@@ -477,6 +477,20 @@ def export_from_caption_checkpoint(
     )
 
 
+def _warmup_servable(sv, dense_fn, raw_fn) -> None:
+    """Shared warmup: run every compiled bucket once on zeros, through the
+    servable's dense entry point (pre-sampled clips) or its raw entry point
+    (ragged uint8 + lengths) depending on how it was exported."""
+    for b in sv._buckets:
+        if sv.device_sampling:
+            raw = np.zeros(
+                (b, sv.raw_len) + tuple(sv.input_shape[1:]), np.uint8
+            )
+            raw_fn(raw, np.full((b,), sv.input_shape[0], np.int32))
+        else:
+            dense_fn(np.zeros((b,) + sv.input_shape, np.float32))
+
+
 class AotServable:
     """A loaded artifact: per-bucket compiled forwards + the label manifest."""
 
@@ -544,15 +558,7 @@ class AotServable:
         runtime warms up (measured: 50 s through a tunneled chip, 0.1 s
         steady-state) — and those belong at load time, not inside the first
         user request. The queue worker calls this before binding its port."""
-        for b in self._buckets:
-            if self.device_sampling:
-                raw = np.zeros(
-                    (b, self.raw_len) + tuple(self.input_shape[1:]), np.uint8
-                )
-                lengths = np.full((b,), self.input_shape[0], np.int32)
-                self.classify_raw(raw, lengths)
-            else:
-                self.classify(np.zeros((b,) + self.input_shape, np.float32))
+        _warmup_servable(self, self.classify, self.classify_raw)
 
     def classify(self, clips: np.ndarray) -> np.ndarray:
         """Softmax probabilities for pre-sampled (N, T, H, W, 3) f32 clips."""
@@ -668,15 +674,7 @@ class CaptionAotServable:
         """Run every compiled bucket once on zeros (same rationale as
         ``AotServable.warmup`` — move the one-time first-execution cost out
         of the first user request)."""
-        for b in self._buckets:
-            if self.device_sampling:
-                raw = np.zeros(
-                    (b, self.raw_len) + tuple(self.input_shape[1:]), np.uint8
-                )
-                lengths = np.full((b,), self.input_shape[0], np.int32)
-                self.decode_raw(raw, lengths)
-            else:
-                self.decode(np.zeros((b,) + self.input_shape, np.float32))
+        _warmup_servable(self, self.decode, self.decode_raw)
 
     def decode(self, clips: np.ndarray):
         """(tokens (N, max_len+1) int32 incl. leading <start>, scores (N,))

@@ -56,9 +56,21 @@ def _http_get(url: str, timeout: float = 180.0):
         return e.code, json.loads(e.read().decode() or "{}")
 
 
-def _wait_port(port: int, deadline_s: float = 900.0) -> None:
+def _wait_port(port: int, proc=None, log_path: str = "",
+               deadline_s: float = 900.0) -> None:
+    """Wait for ``port`` to accept connections; fail FAST (with the log
+    tail) if ``proc`` dies first instead of burning the whole deadline."""
     t0 = time.time()
     while time.time() - t0 < deadline_s:
+        if proc is not None and proc.poll() is not None:
+            tail = ""
+            if log_path and os.path.exists(log_path):
+                with open(log_path) as f:
+                    tail = "".join(f.readlines()[-15:])
+            raise RuntimeError(
+                f"worker exited rc={proc.returncode} before binding port "
+                f"{port}:\n{tail}"
+            )
         try:
             with socket.create_connection(("127.0.0.1", port), timeout=1.0):
                 return
@@ -219,7 +231,8 @@ def main() -> None:
         t0 = time.time()
         # The worker binds its PULL port only after the AOT load + warmup —
         # the first device execution through a tunneled chip costs 1-10 min.
-        _wait_port(QUEUE_PORT)
+        _wait_port(QUEUE_PORT, proc=worker,
+                   log_path=os.path.join(out, "worker.log"))
         summary["worker_ready_s"] = round(time.time() - t0, 1)
         print(f"worker up (artifact loaded + warm) in "
               f"{summary['worker_ready_s']} s")
