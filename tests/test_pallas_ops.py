@@ -179,7 +179,11 @@ def test_ssim_pair_scores_matches_xla():
     (itself skimage-golden-tested in test_data.py) — values to ~1e-6 and
     identical rankings, including non-tile-aligned frame sizes, for BOTH
     kernel layouts (chunked whole-clip default; per-pair big-clip fallback
-    via a tiny _CLIP_VMEM_BYTES monkeypatch)."""
+    via a tiny _CLIP_VMEM_BYTES monkeypatch). The same matrix (plus odd-H /
+    sub-vreg-width shapes) holds COMPILED on the real chip against an
+    f32-precision reference — on TPU the XLA reference's default conv
+    precision is bf16-class, so kernel-vs-XLA deltas there are the
+    reference degrading, not the kernel."""
     from vct.data.samplers import _device_ssim
     from vct.ops import ssim_pallas
 
@@ -190,7 +194,8 @@ def test_ssim_pair_scores_matches_xla():
         # the layout choice is baked in at trace time — retrace per budget
         ssim_pallas.ssim_pair_scores.clear_cache()
         try:
-            for shape in ((2, 11, 16, 16, 3), (1, 5, 9, 11, 3), (3, 4, 8, 8, 1)):
+            for shape in ((2, 11, 16, 43, 3), (1, 5, 9, 11, 3),
+                          (3, 4, 8, 128, 1), (2, 6, 8, 8, 3)):
                 clips = rng.randint(0, 256, shape, np.uint8)
                 got = np.asarray(ssim_pallas.ssim_pair_scores(jnp.asarray(clips)))
                 want = np.stack([

@@ -125,6 +125,22 @@ def device_sample_clips(
                 from vct.ops.pair_scores_pallas import pair_scores
 
                 scores_all = pair_scores(raw, method)
+        elif method == "ssim":
+            # Reshape-batched with an optimization_barrier, NOT vmapped: a
+            # reshape feeding _device_ssim's feature-grouped convs inside
+            # one jit MISCOMPILES on this TPU stack (uniform ~0.75 scores
+            # vs the true values — vmap lowers to the same pattern; eager,
+            # CPU, and the barrier'd version agree). See
+            # vct.ops.ssim_pallas for the on-chip measurements.
+            from vct.data.samplers import _device_ssim
+
+            Bn, Ln = raw.shape[0], raw.shape[1]
+            a = raw[:, :-1].astype(jnp.float32).reshape(
+                (Bn * (Ln - 1),) + raw.shape[2:])
+            b = raw[:, 1:].astype(jnp.float32).reshape(
+                (Bn * (Ln - 1),) + raw.shape[2:])
+            a, b = jax.lax.optimization_barrier((a, b))
+            scores_all = 1.0 - _device_ssim(a, b).reshape(Bn, Ln - 1)
         else:
             scores_all = jax.vmap(
                 lambda c: device_frame_scores(c, method)

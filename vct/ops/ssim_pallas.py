@@ -71,21 +71,23 @@ _CHUNK_F32_BYTES = 768 * 1024
 
 def _ssim_chunk_scores(a, b, *, C: int, win: int, c1: float, c2: float,
                        cov_norm: float):
-    """(k, H, WC) f32 frame pairs -> (k, 1) mean-SSIM. The win x win window
-    sums are roll-shifted adds (Mosaic rejects lane-dim slices at
-    non-128-multiple offsets; roll is a native rotate); wrapped tail
-    rows/cols are garbage and are masked out of the mean."""
-    _, H, WC = a.shape
+    """(..., H, WC) f32 frame pairs -> (..., 1) mean-SSIM over the last two
+    axes (2-D for the per-pair grid, (k, H, WC) for the chunked layout).
+    The win x win window sums are roll-shifted adds (Mosaic rejects
+    lane-dim slices at non-128-multiple offsets; roll is a native rotate);
+    wrapped tail rows/cols are garbage and are masked out of the mean."""
+    h_ax, l_ax = a.ndim - 2, a.ndim - 1
+    H, WC = a.shape[-2:]
     n2 = WC - (win - 1) * C  # (W - win + 1) * C valid flattened columns
 
     def win_sum(v):
         rows = v
         for r in range(1, win):
             # roll by size-k == roll by -k (pltpu.roll wants shift >= 0)
-            rows = rows + pltpu.roll(v, shift=H - r, axis=1)
+            rows = rows + pltpu.roll(v, shift=H - r, axis=h_ax)
         out = rows
         for c in range(1, win):
-            out = out + pltpu.roll(rows, shift=WC - c * C, axis=2)
+            out = out + pltpu.roll(rows, shift=WC - c * C, axis=l_ax)
         return out
 
     inv_n = 1.0 / (win * win)
@@ -100,12 +102,12 @@ def _ssim_chunk_scores(a, b, *, C: int, win: int, c1: float, c2: float,
     s = ((2.0 * ua * ub + c1) * (2.0 * vab + c2)) / (
         (ua * ua + ub * ub + c1) * (va + vb + c2)
     )
-    rid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    cid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    rid = jax.lax.broadcasted_iota(jnp.int32, s.shape, h_ax)
+    cid = jax.lax.broadcasted_iota(jnp.int32, s.shape, l_ax)
     s = jnp.where((rid <= H - win) & (cid < n2), s, 0.0)
     count = (H - win + 1) * n2
-    sm = jnp.sum(s, axis=2, keepdims=True)
-    return jnp.sum(sm, axis=1) / count  # (k, 1)
+    sm = jnp.sum(s, axis=l_ax, keepdims=True)
+    return jnp.sum(sm, axis=h_ax) / count  # (..., 1)
 
 
 def _widen(x):
@@ -123,12 +125,12 @@ def _ssim_pair_kernel(a_ref, b_ref, o_ref, *, C: int, win: int, c1: float,
     i, so the row stays VMEM-resident until the clip index advances)."""
     i = pl.program_id(1)
     sm = _ssim_chunk_scores(
-        _widen(a_ref[0]), _widen(b_ref[0]),
+        _widen(a_ref[0, 0]), _widen(b_ref[0, 0]),
         C=C, win=win, c1=c1, c2=c2, cov_norm=cov_norm,
     )
     row = o_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    o_ref[0] = _scatter_row(row, lane, i, sm, 1)
+    o_ref[0] = jnp.where(lane == i, sm[0], row)
 
 
 def _ssim_clip_kernel(x_ref, o_ref, *, L: int, K: int, C: int, win: int,
@@ -170,6 +172,12 @@ def ssim_pair_scores(
         return jnp.zeros((B, 0), jnp.float32)
     if H < win or W < win:
         raise ValueError(f"frames {H}x{W} smaller than SSIM window {win}")
+    # On-chip parity note: the kernels compute in full f32 and match the
+    # XLA reference bit-for-bit ONLY when that reference runs its convs at
+    # f32 precision (the CPU test lane pins this). On the TPU the XLA
+    # conv default is bf16-class, so kernel-vs-XLA deltas of ~1e-3 there
+    # are the REFERENCE degrading, not the kernel — measured and verified
+    # by re-running the reference under default_matmul_precision(float32).
     x = clips.reshape(B, L, H, W * C)  # row-major: free reshape
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
