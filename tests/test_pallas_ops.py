@@ -198,13 +198,17 @@ def test_ssim_pair_scores_matches_xla():
                           (3, 4, 8, 128, 1), (2, 6, 8, 8, 3)):
                 clips = rng.randint(0, 256, shape, np.uint8)
                 got = np.asarray(ssim_pallas.ssim_pair_scores(jnp.asarray(clips)))
-                want = np.stack([
-                    np.asarray(_device_ssim(
-                        jnp.asarray(c[:-1], jnp.float32),
-                        jnp.asarray(c[1:], jnp.float32),
-                    ))
-                    for c in clips
-                ])
+                # pin the REFERENCE to f32: on the VCT_TEST_TPU=1 lane the
+                # XLA conv default is bf16-class and the reference (not the
+                # exact kernel) would be the side off by ~1e-3
+                with jax.default_matmul_precision("float32"):
+                    want = np.stack([
+                        np.asarray(_device_ssim(
+                            jnp.asarray(c[:-1], jnp.float32),
+                            jnp.asarray(c[1:], jnp.float32),
+                        ))
+                        for c in clips
+                    ])
                 np.testing.assert_allclose(
                     got, want, atol=2e-6, err_msg=f"{shape} budget={budget}"
                 )
